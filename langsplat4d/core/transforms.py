@@ -132,6 +132,19 @@ def inverse_sigmoid(x):
     return jnp.log(x / (1 - x))
 
 
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-9,
+                   axis: int = -1) -> jnp.ndarray:
+    """x / (||x|| + eps) with a finite gradient at x = 0.
+
+    torch's norm defines a zero subgradient at the origin, which the reference
+    relies on (language features start at zero, gaussian_renderer/
+    __init__.py:94); jnp.linalg.norm would produce NaN there.
+    """
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    norm = jnp.sqrt(jnp.maximum(sq, 1e-30))
+    return x / (norm + eps)
+
+
 def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: int = 0,
              lr_delay_mult: float = 1.0, max_steps: int = 1000000):
     """Log-linear LR interpolation with optional delayed warmup.

@@ -1,0 +1,136 @@
+"""Host-side camera with GT language-feature fetch.
+
+Numpy rebuild of `scene/cameras.py:18-132` (Camera/MiniCam): view/projection
+matrices in the transposed row-vector convention consumed by the rasterizer,
+plus `get_language_feature` which gathers per-pixel features from the offline
+pipeline's `*_s.npy` seg maps + `*_f.npy` feature tables (:69-118).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+from langsplat4d.core.transforms import projection_matrix, world_to_view
+
+ZNEAR, ZFAR = 0.01, 100.0
+
+
+@dataclass
+class HostCamera:
+    colmap_id: int
+    R: np.ndarray                 # [3,3]
+    T: np.ndarray                 # [3]
+    fovx: float
+    fovy: float
+    image: Optional[np.ndarray]   # [3,H,W] float32 in [0,1] (lazy ok)
+    image_name: str
+    uid: int
+    time: float = 0.0
+    mask: Optional[np.ndarray] = None
+    cam_name: Optional[str] = None
+    width: int = 0
+    height: int = 0
+    trans: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    scale: float = 1.0
+    image_path: Optional[str] = None
+
+    def __post_init__(self):
+        if self.image is not None:
+            self.image = np.clip(self.image[:3], 0.0, 1.0).astype(np.float32)
+            self.height, self.width = self.image.shape[1:]
+            if self.mask is not None and self.mask.ndim == 3:
+                self.image = self.image * self.mask
+
+    @property
+    def world_view_transform(self) -> np.ndarray:
+        return world_to_view(self.R, self.T, self.trans, self.scale).T
+
+    @property
+    def projection_matrix(self) -> np.ndarray:
+        return projection_matrix(ZNEAR, ZFAR, self.fovx, self.fovy).T
+
+    @property
+    def full_proj_transform(self) -> np.ndarray:
+        return self.world_view_transform @ self.projection_matrix
+
+    @property
+    def camera_center(self) -> np.ndarray:
+        return np.linalg.inv(self.world_view_transform)[3, :3]
+
+    def camera_params(self):
+        """Device-side CameraParams for the rasterizer."""
+        import jax.numpy as jnp
+        from langsplat4d.render.raster import CameraParams
+        return CameraParams(
+            viewmatrix=jnp.asarray(self.world_view_transform, jnp.float32),
+            projmatrix=jnp.asarray(self.full_proj_transform, jnp.float32),
+            campos=jnp.asarray(self.camera_center, jnp.float32),
+            tanfovx=jnp.asarray(np.tan(self.fovx * 0.5), jnp.float32),
+            tanfovy=jnp.asarray(np.tan(self.fovy * 0.5), jnp.float32),
+        )
+
+    def get_language_feature(self, language_feature_dir: str,
+                             feature_level: int, split: str = "train",
+                             data_type: str = "nerfies",
+                             ) -> Tuple[Optional[np.ndarray],
+                                        Optional[np.ndarray]]:
+        """Per-pixel GT language features + validity mask.
+
+        Camera-id -> feature-file mapping follows scene/cameras.py:69-90
+        (nerfies: colmap_id*4+1 train / *4+3 test; dynerf: cam_name-frame).
+        Returns (feature [C,H,W], mask [1,H,W]) float32/bool or (None, None).
+        """
+        if language_feature_dir is None:
+            return None, None
+        if data_type == "nerfies":
+            if split == "train":
+                real_id = self.colmap_id * 4 + 1
+            elif split == "test":
+                real_id = self.colmap_id * 4 + 3
+            else:  # video
+                real_id = self.colmap_id + 1
+            name = os.path.join(language_feature_dir, f"{real_id:06}")
+        elif data_type == "dynerf":
+            frame_id = self.colmap_id % 300
+            if split == "test":
+                assert self.colmap_id < 300
+            elif split == "video":
+                return None, None
+            name = os.path.join(language_feature_dir,
+                                f"{self.cam_name}-{frame_id:04}")
+        else:
+            raise NotImplementedError(data_type)
+
+        seg_map = np.load(name + "_s.npy")          # [4,H,W] int
+        feature_map = np.load(name + "_f.npy")      # [S, C]
+
+        h, w = self.height, self.width
+        level = {0: 0, 1: 1, 2: 2, 3: 3}[feature_level]
+        seg = seg_map[level].astype(np.int64)        # [H,W]
+        mask = (seg != -1)[None]                     # [1,H,W]
+        feat = feature_map[np.clip(seg, 0, None)]    # [H,W,C]
+        feat = np.where(mask[0][..., None], feat, 0.0)
+        point_feature = np.transpose(feat, (2, 0, 1)).astype(np.float32)
+        assert point_feature.shape[1:] == (h, w), (point_feature.shape, h, w)
+        return point_feature, mask
+
+
+@dataclass
+class MiniCam:
+    """GUI camera (scene/cameras.py:120-132)."""
+    width: int
+    height: int
+    fovy: float
+    fovx: float
+    znear: float
+    zfar: float
+    world_view_transform: np.ndarray
+    full_proj_transform: np.ndarray
+    time: float = 0.0
+
+    @property
+    def camera_center(self) -> np.ndarray:
+        return np.linalg.inv(self.world_view_transform)[3, :3]

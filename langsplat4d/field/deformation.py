@@ -1,0 +1,267 @@
+"""4D deformation field: HexPlane query + per-attribute deformation heads +
+the temporal language MLP and discrete-center coefficient generator.
+
+Functional rebuild of `scene/deformation.py` (Deformation / deform_network).
+All ablation gates (`no_dx/no_ds/no_dr/no_do/no_dshs/no_dlang`, `apply_rotation`,
+`static_mlp`, `empty_voxel`, `no_grid`) and env-knobs (`use_discrete_lang_f`,
+`use_tribute_dlang`, `no_resnet`) become static fields of DeformConfig so XLA
+specializes the traced graph per configuration instead of branching.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from langsplat4d.field import hexplane as hp
+from langsplat4d.field.nets import (
+    linear_init,
+    mlp_apply,
+    mlp_init,
+    poc_fre,
+    poc_freqs,
+)
+from langsplat4d.core.transforms import quat_multiply, safe_normalize
+
+
+@dataclass(frozen=True)
+class DeformConfig:
+    """Static configuration (hashable; safe as a jit static arg)."""
+    net_width: int = 64            # W (arguments/__init__.py:84)
+    defor_depth: int = 1           # D
+    timebase_pe: int = 4
+    posebase_pe: int = 10
+    scale_rotation_pe: int = 2
+    opacity_pe: int = 2
+    timenet_width: int = 64
+    timenet_output: int = 32
+    grid_pe: int = 0
+    bounds: float = 1.6
+    kplanes_out_dim: int = 32
+    kplanes_resolution: Tuple[int, ...] = (64, 64, 64, 25)
+    multires: Tuple[int, ...] = (1, 2, 4, 8)
+    no_grid: bool = False
+    no_dx: bool = False
+    no_ds: bool = False
+    no_dr: bool = False
+    no_do: bool = True
+    no_dshs: bool = True
+    no_dlang: bool = True
+    apply_rotation: bool = False
+    static_mlp: bool = False
+    empty_voxel: bool = False
+    # language config (collapsed env knobs)
+    lang_dim: int = 3
+    centers_num: int = 3
+    use_discrete_lang_f: bool = False
+    use_tribute_dlang: bool = False
+    no_resnet: bool = False
+    max_sh_degree: int = 3
+
+    @property
+    def grid_feat_dim(self) -> int:
+        d = self.kplanes_out_dim * len(self.multires)
+        if self.grid_pe != 0:
+            d = d * 3  # poc_fre(grid_feature) concat (deformation.py:47-49)
+        return d
+
+    @classmethod
+    def from_config(cls, hidden, runtime, max_sh_degree: int = 3,
+                    **overrides) -> "DeformConfig":
+        """Build from HiddenConfig + RuntimeConfig (langsplat4d.config)."""
+        kc = hidden.kplanes_config
+        kw = dict(
+            net_width=hidden.net_width,
+            defor_depth=hidden.defor_depth,
+            timebase_pe=hidden.timebase_pe,
+            posebase_pe=hidden.posebase_pe,
+            scale_rotation_pe=hidden.scale_rotation_pe,
+            opacity_pe=hidden.opacity_pe,
+            timenet_width=hidden.timenet_width,
+            timenet_output=hidden.timenet_output,
+            grid_pe=hidden.grid_pe,
+            bounds=hidden.bounds,
+            kplanes_out_dim=kc["output_coordinate_dim"],
+            kplanes_resolution=tuple(kc["resolution"]),
+            multires=tuple(hidden.multires),
+            no_grid=hidden.no_grid,
+            no_dx=hidden.no_dx,
+            no_ds=hidden.no_ds,
+            no_dr=hidden.no_dr,
+            no_do=hidden.no_do,
+            no_dshs=hidden.no_dshs,
+            no_dlang=bool(hidden.no_dlang),
+            apply_rotation=hidden.apply_rotation,
+            static_mlp=hidden.static_mlp,
+            empty_voxel=hidden.empty_voxel,
+            lang_dim=runtime.language_feature_hiddendim,
+            centers_num=runtime.centers_num,
+            use_discrete_lang_f=runtime.use_discrete_lang_f,
+            use_tribute_dlang=runtime.use_tribute_dlang,
+            no_resnet=runtime.no_resnet,
+            max_sh_degree=max_sh_degree,
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+def init_deform_params(key, cfg: DeformConfig) -> Dict[str, Any]:
+    """Initialize all deformation parameters (reference create_net,
+    scene/deformation.py:45-69, plus deform_network.timenet :208-210)."""
+    W = cfg.net_width
+    keys = jax.random.split(key, 12)
+    times_ch = 2 * cfg.timebase_pe + 1
+
+    params: Dict[str, Any] = {}
+    params["grid"] = hp.init_hexplane(
+        keys[0],
+        {"output_coordinate_dim": cfg.kplanes_out_dim,
+         "resolution": list(cfg.kplanes_resolution)},
+        list(cfg.multires),
+    )
+    # timenet exists for checkpoint parity but is unused in forward_dynamic
+    # (the reference constructs it, scene/deformation.py:208-210, and never
+    # calls it on the dynamic path).
+    params["timenet"] = mlp_init(keys[1], [times_ch, cfg.timenet_width,
+                                           cfg.timenet_output])
+    feat_in = 4 if cfg.no_grid else cfg.grid_feat_dim
+    # feature_out: Linear(feat_in, W) + (D-1) x [ReLU, Linear(W, W)]
+    params["feature_out"] = mlp_init(keys[2], [feat_in] + [W] * cfg.defor_depth)
+    params["pos_deform"] = mlp_init(keys[3], [W, W, 3])
+    params["scales_deform"] = mlp_init(keys[4], [W, W, 3])
+    params["rotations_deform"] = mlp_init(keys[5], [W, W, 4])
+    params["opacity_deform"] = mlp_init(keys[6], [W, W, 1])
+    sh_out = 16 * 3  # fixed 16x3 as in the reference (deformation.py:65)
+    params["shs_deform"] = mlp_init(keys[7], [W, W, sh_out])
+    # lang_deform input: (2*timebase_pe + 1) + lang_dim  (deformation.py:68)
+    params["lang_deform"] = mlp_init(
+        keys[8], [times_ch + cfg.lang_dim, W, W, cfg.lang_dim])
+    params["discrete_coff_generator"] = mlp_init(keys[9], [W, W, cfg.centers_num])
+    if cfg.static_mlp:
+        params["static_mlp"] = mlp_init(keys[10], [W, W, 1])
+    if cfg.empty_voxel:
+        params["empty_voxel"] = jnp.zeros((1, 64, 64, 64), jnp.float32)
+    return params
+
+
+def _query_time(params, cfg: DeformConfig, aabb, xyz, t):
+    """Grid feature + trunk -> hidden (reference query_time,
+    scene/deformation.py:70-86)."""
+    if cfg.no_grid:
+        h = jnp.concatenate([xyz, t], axis=-1)
+    else:
+        h = hp.hexplane_query(params["grid"], aabb, xyz, t)
+        if cfg.grid_pe > 1:
+            h = poc_fre(h, poc_freqs(cfg.grid_pe))
+    return mlp_apply(params["feature_out"], h)
+
+
+def deform_forward(
+    params: Dict[str, Any],
+    cfg: DeformConfig,
+    aabb: jnp.ndarray,
+    xyz: jnp.ndarray,          # [N,3] raw positions
+    scales: jnp.ndarray,       # [N,3] log-scales (pre-activation)
+    rotations: jnp.ndarray,    # [N,4] raw quats
+    opacity: jnp.ndarray,      # [N,1] logits
+    shs: jnp.ndarray,          # [N,16,3]
+    lang: jnp.ndarray,         # [N,L] (L=lang_dim, or centers_num*lang_dim in
+                               # discrete mode)
+    times: jnp.ndarray,        # [N,1] in [0,1]
+    init_centers: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Full dynamic deformation (reference deform_network.forward_dynamic ->
+    Deformation.forward_dynamic, scene/deformation.py:103-182,232-248).
+
+    Returns (pts, scales, rotations, opacity, shs, lang_feature, coff);
+    coff is None unless discrete mode is active.
+    """
+    time_pos_emb = poc_fre(times, poc_freqs(cfg.timebase_pe))  # [N, 2P+1]
+    hidden = _query_time(params, cfg, aabb, xyz, times)
+
+    if cfg.static_mlp:
+        mask = mlp_apply(params["static_mlp"], hidden, pre_relu=True)
+    elif cfg.empty_voxel:
+        raise NotImplementedError("empty_voxel gate is not supported; the "
+                                  "reference default disables it")
+    else:
+        mask = jnp.ones_like(opacity[:, :1])
+
+    if cfg.no_dx:
+        pts = xyz
+    else:
+        dx = mlp_apply(params["pos_deform"], hidden, pre_relu=True)
+        pts = xyz * mask + dx
+
+    if cfg.no_ds:
+        scales_out = scales
+    else:
+        ds = mlp_apply(params["scales_deform"], hidden, pre_relu=True)
+        scales_out = scales * mask + ds
+
+    if cfg.no_dr:
+        rotations_out = rotations
+    else:
+        dr = mlp_apply(params["rotations_deform"], hidden, pre_relu=True)
+        if cfg.apply_rotation:
+            rotations_out = quat_multiply(rotations, dr)
+        else:
+            rotations_out = rotations + dr
+
+    if cfg.no_do:
+        opacity_out = opacity
+    else:
+        do = mlp_apply(params["opacity_deform"], hidden, pre_relu=True)
+        opacity_out = opacity * mask + do
+
+    if cfg.no_dshs:
+        shs_out = shs
+    else:
+        dshs = mlp_apply(params["shs_deform"], hidden,
+                         pre_relu=True).reshape(shs.shape[0], 16, 3)
+        shs_out = shs * mask[..., None] + dshs
+
+    coff = None
+    if cfg.use_discrete_lang_f and not init_centers:
+        # Mix per-Gaussian discrete feature centers (deformation.py:156-163).
+        centers = lang[:, : cfg.lang_dim * cfg.centers_num].reshape(
+            lang.shape[0], cfg.centers_num, cfg.lang_dim)
+        centers = safe_normalize(centers, eps=0.0)
+        coff = mlp_apply(params["discrete_coff_generator"], hidden,
+                         pre_relu=True)
+        lang_feature = jnp.einsum("nc,ncd->nd", coff, centers)
+        lang_feature = safe_normalize(lang_feature)
+    else:
+        assert not (init_centers and cfg.no_dlang), (
+            "dlang must be enabled when initializing centers")
+        if cfg.no_dlang:
+            lang_feature = lang[:, : cfg.lang_dim]
+        else:
+            if cfg.use_tribute_dlang:
+                dlang = mlp_apply(params["lang_deform"], hidden, pre_relu=True)
+            else:
+                dlang = mlp_apply(
+                    params["lang_deform"],
+                    jnp.concatenate([lang, time_pos_emb], axis=-1),
+                    pre_relu=True,
+                )
+            if cfg.no_resnet:
+                lang_feature = dlang
+            else:
+                lang_feature = lang[:, : cfg.lang_dim] * mask + dlang
+            lang_feature = safe_normalize(lang_feature)
+
+    return pts, scales_out, rotations_out, opacity_out, shs_out, lang_feature, coff
+
+
+def split_mlp_grid_params(params: Dict[str, Any]):
+    """Partition into (mlp, grid) param groups for the optimizer — mirrors
+    get_mlp_parameters/get_grid_parameters (scene/deformation.py:183-194,
+    249-252): anything named 'grid' is the grid group, the rest is 'deformation'.
+    Returns two pytree masks over the params dict."""
+    mlp_mask = {k: (k != "grid") for k in params}
+    grid_mask = {k: (k == "grid") for k in params}
+    return mlp_mask, grid_mask

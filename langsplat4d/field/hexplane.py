@@ -1,0 +1,145 @@
+"""HexPlane (K-Planes) spatio-temporal feature field.
+
+TPU-native rebuild of `scene/hexplane.py:109-185`: six learnable planes per
+scale over the coordinate pairs xy,xz,yz,xt,yt,zt
+(`itertools.combinations(range(4), 2)`), bilinear interpolation, per-scale
+product over planes, concat over scales. Time planes initialize to 1.0 for
+static/dynamic separation (scene/hexplane.py:64-65); multiscale resolution
+multipliers apply to spatial dims only (scene/hexplane.py:131-134).
+
+Quirk preserved for parity: spatial coords are AABB-normalized to [-1, 1] with
+an inverted max/min convention while the time coordinate stays in [0, 1]
+(reference normalize_aabb + get_density, scene/hexplane.py:19-20,160-177).
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from langsplat4d.ops.grid_sample import grid_sample_2d
+
+COO_COMBS = tuple(itertools.combinations(range(4), 2))  # xy,xz,yz,xt,yt,zt
+# Regularizer plane-id sets reproduce the reference verbatim, including its
+# off-by-one quirk: `_plane_regulation` iterates ids [0,1,3] (= xy,xz,xt) and
+# `_time_regulation`/`_l1_regulation` iterate [2,4,5] (= yz,yt,zt), although
+# the true time planes are [3,4,5] (scene/gaussian_model.py:763-800).
+TV_PLANE_IDS = (0, 1, 3)
+TIME_PLANE_IDS = (2, 4, 5)
+
+
+def init_hexplane(key, kplanes_config: Dict[str, Any], multires: List[int]):
+    """Returns params: {'grids': [scale][plane] arrays [C, H, W], 'aabb': [2,3]}.
+
+    Plane array layout [C, reso[c1], reso[c0]] matches the torch
+    `[1, out_dim, reso[cc] for cc in coo_comb[::-1]]` (scene/hexplane.py:61-63)
+    with the leading batch dim dropped.
+    """
+    out_dim = kplanes_config["output_coordinate_dim"]
+    base_reso = kplanes_config["resolution"]
+    grids = []
+    for res_mult in multires:
+        reso = [r * res_mult for r in base_reso[:3]] + list(base_reso[3:])
+        scale_planes = []
+        for comb in COO_COMBS:
+            key, sub = jax.random.split(key)
+            shape = (out_dim, reso[comb[1]], reso[comb[0]])
+            if 3 in comb:  # time plane -> ones
+                plane = jnp.ones(shape, jnp.float32)
+            else:
+                plane = jax.random.uniform(sub, shape, jnp.float32, 0.1, 0.5)
+            scale_planes.append(plane)
+        grids.append(scale_planes)
+    return {"grids": grids}
+
+
+def hexplane_feat_dim(kplanes_config: Dict[str, Any], multires: List[int]) -> int:
+    return kplanes_config["output_coordinate_dim"] * len(multires)
+
+
+def default_aabb(bounds: float) -> jnp.ndarray:
+    """Reference convention: aabb[0]=max corner, aabb[1]=min corner."""
+    return jnp.asarray([[bounds] * 3, [-bounds] * 3], jnp.float32)
+
+
+def normalize_aabb(pts: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
+    return (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
+
+
+def hexplane_query(params, aabb: jnp.ndarray, pts: jnp.ndarray,
+                   timestamps: jnp.ndarray) -> jnp.ndarray:
+    """Interpolate multiscale features at (xyz, t).
+
+    Args:
+        params: from init_hexplane.
+        aabb: [2,3] (max, min) — stored outside params since it is not learned
+            (requires_grad=False in the reference, scene/hexplane.py:120).
+        pts: [n, 3] raw world coordinates.
+        timestamps: [n, 1] times in [0, 1].
+
+    Returns: [n, feat_dim] with feat_dim = out_dim * num_scales.
+    """
+    p = normalize_aabb(pts, aabb)
+    p4 = jnp.concatenate([p, timestamps], axis=-1)  # [n, 4]
+    per_scale = []
+    for scale_planes in params["grids"]:
+        interp = 1.0
+        for ci, comb in enumerate(COO_COMBS):
+            coords = p4[:, list(comb)]  # [n, 2]; coords[:,0]->W, [:,1]->H
+            interp = interp * grid_sample_2d(scale_planes[ci], coords)
+        per_scale.append(interp)
+    return jnp.concatenate(per_scale, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Plane regularizers (reference scene/regulation.py + gaussian_model.py:763-802)
+# ---------------------------------------------------------------------------
+
+def _plane_smoothness(plane: jnp.ndarray) -> jnp.ndarray:
+    """Second-difference smoothness over the H axis (axis -2).
+
+    Mirrors `compute_plane_smoothness` (scene/regulation.py:22-28), which
+    differences along dim 2 of [1,C,H,W]; for time planes H is the time axis
+    (comb[::-1] puts coordinate 3 into H).
+    """
+    first = plane[..., 1:, :] - plane[..., :-1, :]
+    second = first[..., 1:, :] - first[..., :-1, :]
+    return jnp.mean(second ** 2)
+
+
+def plane_tv_loss(params) -> jnp.ndarray:
+    """TV smoothness over plane ids [0,1,3] (reference _plane_regulation)."""
+    total = 0.0
+    for scale_planes in params["grids"]:
+        for gid in TV_PLANE_IDS:
+            total = total + _plane_smoothness(scale_planes[gid])
+    return total
+
+
+def time_smoothness_loss(params) -> jnp.ndarray:
+    """Smoothness on spatio-temporal planes (reference _time_regulation)."""
+    total = 0.0
+    for scale_planes in params["grids"]:
+        for gid in TIME_PLANE_IDS:
+            total = total + _plane_smoothness(scale_planes[gid])
+    return total
+
+
+def l1_time_planes_loss(params) -> jnp.ndarray:
+    """|1 - plane| on spatio-temporal planes (reference _l1_regulation)."""
+    total = 0.0
+    for scale_planes in params["grids"]:
+        for gid in TIME_PLANE_IDS:
+            total = total + jnp.mean(jnp.abs(1.0 - scale_planes[gid]))
+    return total
+
+
+def compute_regulation(params, time_smoothness_weight: float,
+                       l1_time_planes_weight: float,
+                       plane_tv_weight: float) -> jnp.ndarray:
+    """Reference GaussianModel.compute_regulation (scene/gaussian_model.py:801)."""
+    return (plane_tv_weight * plane_tv_loss(params)
+            + time_smoothness_weight * time_smoothness_loss(params)
+            + l1_time_planes_weight * l1_time_planes_loss(params))

@@ -1,0 +1,232 @@
+"""Adaptive density control under static shapes: clone, split, prune,
+opacity reset, and the optimizer-state surgery they imply.
+
+Reference behavior: scene/gaussian_model.py:391-394 (reset_opacity), :446-539
+(optimizer surgery), :575-627 (split/clone), :714-731 (prune/densify),
+:746-748 (stats). The torch version reallocates tensors per event; here every
+op is a fixed-shape masked scatter / stable-partition gather over the padded
+capacity, so densification never retriggers XLA compilation.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from langsplat4d.core.state import PAD_LOG_SCALE, PAD_OPACITY_LOGIT
+from langsplat4d.core.transforms import inverse_sigmoid, quat_to_rotmat
+from langsplat4d.train.trainstate import (
+    GAUSSIAN_KEYS,
+    TrainState,
+    reset_densification_stats,
+)
+
+
+def add_densification_stats(state: TrainState, vs_grad: jnp.ndarray,
+                            update_filter: jnp.ndarray) -> TrainState:
+    """xyz_gradient_accum += |grad_xy|; denom += 1 on visible Gaussians
+    (gaussian_model.py:746-748)."""
+    norm = jnp.linalg.norm(vs_grad[:, :2], axis=-1, keepdims=True)
+    upd = update_filter[:, None]
+    return state.replace(
+        xyz_gradient_accum=state.xyz_gradient_accum + jnp.where(upd, norm, 0.0),
+        denom=state.denom + upd.astype(state.denom.dtype),
+    )
+
+
+def update_max_radii(state: TrainState, radii: jnp.ndarray,
+                     visibility: jnp.ndarray) -> TrainState:
+    """max_radii2D = max(max_radii2D, radii) on visible (train.py:390)."""
+    return state.replace(
+        max_radii2d=jnp.where(visibility,
+                              jnp.maximum(state.max_radii2d, radii),
+                              state.max_radii2d))
+
+
+def _grads(state: TrainState) -> jnp.ndarray:
+    g = state.xyz_gradient_accum / state.denom
+    return jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def _gather_rows(state: TrainState, order: jnp.ndarray,
+                 num_active: jnp.ndarray) -> TrainState:
+    """Permute all per-Gaussian rows (params, Adam moments, aux) by `order`."""
+    def permute(tree):
+        return {k: (v[order] if k in GAUSSIAN_KEYS else v)
+                for k, v in tree.items()}
+
+    return state.replace(
+        params=permute(state.params),
+        opt=state.opt.replace(m=permute(state.opt.m),
+                              v=permute(state.opt.v)),
+        num_active=num_active.astype(jnp.int32),
+        max_radii2d=state.max_radii2d[order],
+        xyz_gradient_accum=state.xyz_gradient_accum[order],
+        denom=state.denom[order],
+        deformation_table=state.deformation_table[order],
+        deformation_accum=state.deformation_accum[order],
+    )
+
+
+def _neutralize_padding(state: TrainState) -> TrainState:
+    """Reset rows >= num_active to neutral padding and zero their moments."""
+    cap = state.capacity
+    pad = jnp.arange(cap) >= state.num_active
+
+    def fix(name, arr):
+        if name == "opacity":
+            fill = jnp.full_like(arr, PAD_OPACITY_LOGIT)
+        elif name == "scaling":
+            fill = jnp.full_like(arr, PAD_LOG_SCALE)
+        elif name == "rotation":
+            fill = jnp.concatenate(
+                [jnp.ones_like(arr[:, :1]), jnp.zeros_like(arr[:, 1:])], axis=1)
+        else:
+            fill = jnp.zeros_like(arr)
+        mask = pad.reshape((cap,) + (1,) * (arr.ndim - 1))
+        return jnp.where(mask, fill, arr)
+
+    params = {k: (fix(k, v) if k in GAUSSIAN_KEYS else v)
+              for k, v in state.params.items()}
+
+    def zero_pad(tree):
+        return {k: (jnp.where(pad.reshape((cap,) + (1,) * (v.ndim - 1)),
+                              0.0, v) if k in GAUSSIAN_KEYS else v)
+                for k, v in tree.items()}
+
+    return state.replace(
+        params=params,
+        opt=state.opt.replace(m=zero_pad(state.opt.m),
+                              v=zero_pad(state.opt.v)),
+    )
+
+
+@jax.jit
+def prune_points(state: TrainState, mask: jnp.ndarray) -> TrainState:
+    """Remove masked Gaussians by stable partition (keepers first, original
+    order preserved), mirroring prune_points + _prune_optimizer
+    (gaussian_model.py:461-508)."""
+    active = jnp.arange(state.capacity) < state.num_active
+    kill = mask & active
+    order = jnp.argsort(kill.astype(jnp.int32), stable=True)
+    n_new = state.num_active - jnp.sum(kill)
+    out = _gather_rows(state, order, n_new)
+    return _neutralize_padding(out)
+
+
+def _append_rows(state: TrainState, new_rows, sel_rank: jnp.ndarray,
+                 sel_mask: jnp.ndarray, copy_offset: jnp.ndarray) -> TrainState:
+    """Scatter selected `new_rows[k] [cap, ...]` to positions
+    num_active + copy_offset + rank (drop on overflow)."""
+    target = jnp.where(sel_mask,
+                       state.num_active + copy_offset + sel_rank,
+                       state.capacity)  # OOB -> dropped
+
+    def scatter_tree(tree, rows):
+        out = {}
+        for k, v in tree.items():
+            if k in GAUSSIAN_KEYS:
+                out[k] = v.at[target].set(rows[k], mode="drop")
+            else:
+                out[k] = v
+        return out
+
+    zero_rows = {k: jnp.zeros_like(v) for k, v in new_rows.items()}
+    params = scatter_tree(state.params, new_rows)
+    m = scatter_tree(state.opt.m, zero_rows)
+    v = scatter_tree(state.opt.v, zero_rows)
+    return state.replace(
+        params=params, opt=state.opt.replace(m=m, v=v),
+        deformation_table=state.deformation_table.at[target].set(
+            state.deformation_table, mode="drop"),
+    )
+
+
+@partial(jax.jit, static_argnames=("train_lang",))
+def densify_and_clone(state: TrainState, grad_threshold, scene_extent,
+                      percent_dense, train_lang: bool = False) -> TrainState:
+    """Clone small high-gradient Gaussians (gaussian_model.py:607-627)."""
+    grads = _grads(state)
+    active = jnp.arange(state.capacity) < state.num_active
+    max_scale = jnp.max(jnp.exp(state.params["scaling"]), axis=1)
+    sel = (jnp.linalg.norm(grads, axis=-1) >= grad_threshold) \
+        & (max_scale <= percent_dense * scene_extent) & active
+    rank = jnp.cumsum(sel) - 1
+    num_sel = jnp.sum(sel)
+    rows = {k: state.params[k] for k in GAUSSIAN_KEYS}
+    out = _append_rows(state, rows, rank, sel, jnp.zeros((), jnp.int32))
+    n_new = jnp.minimum(state.num_active + num_sel, state.capacity)
+    out = out.replace(num_active=n_new.astype(jnp.int32))
+    return reset_densification_stats(out)
+
+
+@partial(jax.jit, static_argnames=("n_split",))
+def densify_and_split(state: TrainState, grad_threshold, scene_extent,
+                      percent_dense, rng_key, n_split: int = 2) -> TrainState:
+    """Split large high-gradient Gaussians into N resampled children and prune
+    the originals (gaussian_model.py:575-605)."""
+    grads = _grads(state)[:, 0]
+    active = jnp.arange(state.capacity) < state.num_active
+    scaling = jnp.exp(state.params["scaling"])
+    max_scale = jnp.max(scaling, axis=1)
+    sel = (grads >= grad_threshold) \
+        & (max_scale > percent_dense * scene_extent) & active
+    rank = jnp.cumsum(sel) - 1
+    num_sel = jnp.sum(sel)
+
+    rot = quat_to_rotmat(state.params["rotation"])     # [cap,3,3]
+    out = state
+    for j in range(n_split):
+        key = jax.random.fold_in(rng_key, j)
+        samples = jax.random.normal(key, scaling.shape) * scaling
+        new_xyz = jnp.einsum("nij,nj->ni", rot, samples) + state.params["xyz"]
+        new_scaling = jnp.log(scaling / (0.8 * n_split))
+        rows = {k: state.params[k] for k in GAUSSIAN_KEYS}
+        rows = dict(rows, xyz=new_xyz, scaling=new_scaling)
+        out = _append_rows(out, rows, rank, sel,
+                           (j * num_sel).astype(jnp.int32))
+    n_new = jnp.minimum(state.num_active + n_split * num_sel, state.capacity)
+    out = out.replace(num_active=n_new.astype(jnp.int32))
+    out = reset_densification_stats(out)
+    # prune originals (selected rows keep their positions before the append)
+    return prune_points(out, sel)
+
+
+@jax.jit
+def prune(state: TrainState, min_opacity, scene_extent,
+          max_screen_size) -> TrainState:
+    """Opacity/screen-size/world-size prune (gaussian_model.py:714-725).
+    max_screen_size <= 0 disables the size terms (reference passes None)."""
+    opac = jax.nn.sigmoid(state.params["opacity"])[:, 0]
+    mask = opac < min_opacity
+    big_vs = state.max_radii2d > max_screen_size
+    big_ws = jnp.max(jnp.exp(state.params["scaling"]), axis=1) \
+        > 0.1 * scene_extent
+    use_size = max_screen_size > 0
+    mask = jnp.where(use_size, mask | big_vs | big_ws, mask)
+    return prune_points(state, mask)
+
+
+@jax.jit
+def reset_opacity(state: TrainState) -> TrainState:
+    """Clamp opacities to <= 0.01 and zero the opacity Adam moments
+    (reset_opacity + replace_tensor_to_optimizer, gaussian_model.py:391-394,
+    446-459)."""
+    active = (jnp.arange(state.capacity) < state.num_active)[:, None]
+    op = jax.nn.sigmoid(state.params["opacity"])
+    new_op = inverse_sigmoid(jnp.minimum(op, 0.01))
+    params = dict(state.params,
+                  opacity=jnp.where(active, new_op, state.params["opacity"]))
+    m = dict(state.opt.m, opacity=jnp.zeros_like(state.opt.m["opacity"]))
+    v = dict(state.opt.v, opacity=jnp.zeros_like(state.opt.v["opacity"]))
+    return state.replace(params=params, opt=state.opt.replace(m=m, v=v))
+
+
+def densify(state: TrainState, max_grad, extent, percent_dense,
+            rng_key) -> TrainState:
+    """clone + split (gaussian_model.py:726-731); prune is a separate call in
+    the loop, as in the reference (train.py:399-406)."""
+    state = densify_and_clone(state, max_grad, extent, percent_dense)
+    return densify_and_split(state, max_grad, extent, percent_dense, rng_key)

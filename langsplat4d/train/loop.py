@@ -1,0 +1,396 @@
+"""Training drivers: per-stage `scene_reconstruction` loop + the 4/5-stage
+curriculum `training` (reference train.py:98-466).
+
+Host-side control (camera sampling, densify scheduling, checkpointing, the
+NaN watchdog) wraps the jitted `train_step`; everything per-iteration-hot is
+compiled once per stage.
+"""
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time as time_mod
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from langsplat4d.config import Config
+from langsplat4d.core import plyio, state as statelib
+from langsplat4d.data.cameras import HostCamera
+from langsplat4d.data.scene import BatchLoader, FineSampler, Scene
+from langsplat4d.field.deformation import DeformConfig, init_deform_params
+from langsplat4d.render.raster import CameraParams, RasterSettings
+from langsplat4d.train import densify as D
+from langsplat4d.train.optim import LRConfig
+from langsplat4d.train.step import Batch, StepConfig, train_step
+from langsplat4d.train.trainstate import TrainState, make_train_state
+from langsplat4d.utils.logging import get_logger
+from langsplat4d.utils.timer import Timer
+
+logger = get_logger()
+
+STAGE_ORDER = ("coarse-base", "coarse-lang", "fine-base", "fine-lang")
+
+
+def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
+                split: str = "train") -> Batch:
+    """Stack a list of host cameras into device Batch arrays."""
+    cam_params = [c.camera_params() for c in cams]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_params)
+    times = jnp.asarray([c.time for c in cams], jnp.float32)
+    gt_images = jnp.asarray(np.stack([c.image for c in cams]))
+
+    lf_path = cfg.model.lf_path
+    gt_langs, masks = [], []
+    lang_dim = cfg.runtime.language_feature_hiddendim
+    for c in cams:
+        f, m = (None, None)
+        if lf_path is not None and os.path.isdir(lf_path):
+            f, m = c.get_language_feature(lf_path, cfg.model.feature_level,
+                                          split, scene.dataset_type)
+        if f is None:
+            f = np.zeros((lang_dim, c.height, c.width), np.float32)
+            m = np.zeros((1, c.height, c.width), bool)
+        gt_langs.append(f)
+        masks.append(m)
+    return Batch(
+        cams=stacked, times=times, gt_images=gt_images,
+        gt_lang=jnp.asarray(np.stack(gt_langs)),
+        lang_mask=jnp.asarray(np.stack(masks).astype(np.float32)))
+
+
+def init_state_from_scene(cfg: Config, scene: Scene, seed: int = 0,
+                          ) -> tuple:
+    """GaussianModel(…) + Scene(...) + create_from_pcd equivalent."""
+    dcfg = DeformConfig.from_config(cfg.hidden, cfg.runtime,
+                                    max_sh_degree=cfg.model.sh_degree)
+    dparams = init_deform_params(jax.random.PRNGKey(seed), dcfg)
+    pcd = scene.point_cloud
+    capacity = statelib.round_capacity(
+        max(int(cfg.optim.max_points * 1.2), len(pcd.points)),
+        cfg.runtime.capacity_granule)
+    gs = statelib.create_from_pcd(
+        pcd.points, pcd.colors, max_sh_degree=cfg.model.sh_degree,
+        lang_dim=cfg.runtime.language_feature_hiddendim, capacity=capacity)
+    logger.info(f"Number of points at initialisation: {len(pcd.points)} "
+                f"(capacity {capacity})")
+    state = make_train_state(gs, dparams, scene.aabb)
+    return state, dcfg
+
+
+def save_scene(cfg: Config, state: TrainState, iteration: int, stage: str,
+               model_path: str) -> None:
+    """Scene.save parity (scene/__init__.py:98-101): PLY + deformation state
+    per `{stage}_iteration_{iter}` directory."""
+    out_dir = os.path.join(model_path, "point_cloud",
+                           f"{stage}_iteration_{iteration}")
+    os.makedirs(out_dir, exist_ok=True)
+    n = int(state.num_active)
+    p = jax.device_get(state.params)
+    plyio.write_ply(
+        os.path.join(out_dir, "point_cloud.ply"),
+        plyio.gaussians_to_ply_arrays(
+            xyz=p["xyz"][:n], features_dc=p["f_dc"][:n],
+            features_rest=p["f_rest"][:n],
+            language_feature=p["language_feature"][:n],
+            opacity=p["opacity"][:n], scaling=p["scaling"][:n],
+            rotation=p["rotation"][:n]))
+    from langsplat4d.interop import save_deformation
+    save_deformation(out_dir, p["deform"], state)
+
+
+def save_checkpoint(state: TrainState, iteration: int, stage: str,
+                    model_path: str) -> None:
+    """Full-state checkpoint (capture(), gaussian_model.py:71-109)."""
+    import pickle
+    path = os.path.join(model_path, f"chkpnt_{stage}_{iteration}.pth")
+    payload = dict(
+        iteration=iteration, stage=stage,
+        params=jax.device_get(state.params),
+        opt_m=jax.device_get(state.opt.m),
+        opt_v=jax.device_get(state.opt.v),
+        opt_step=int(state.opt.step),
+        num_active=int(state.num_active),
+        max_radii2d=np.asarray(state.max_radii2d),
+        xyz_gradient_accum=np.asarray(state.xyz_gradient_accum),
+        denom=np.asarray(state.denom),
+        deformation_table=np.asarray(state.deformation_table),
+        deformation_accum=np.asarray(state.deformation_accum),
+        aabb=np.asarray(state.aabb),
+        active_sh_degree=state.active_sh_degree,
+    )
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    logger.info(f"[ITER {iteration}] Saved checkpoint {path}")
+
+
+def load_checkpoint(path: str) -> TrainState:
+    import pickle
+    from langsplat4d.train.optim import AdamState
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = jax.tree.map(jnp.asarray, payload["params"])
+    return TrainState(
+        params=params,
+        opt=AdamState(m=jax.tree.map(jnp.asarray, payload["opt_m"]),
+                      v=jax.tree.map(jnp.asarray, payload["opt_v"]),
+                      step=jnp.asarray(payload["opt_step"], jnp.int32)),
+        num_active=jnp.asarray(payload["num_active"], jnp.int32),
+        max_radii2d=jnp.asarray(payload["max_radii2d"]),
+        xyz_gradient_accum=jnp.asarray(payload["xyz_gradient_accum"]),
+        denom=jnp.asarray(payload["denom"]),
+        deformation_table=jnp.asarray(payload["deformation_table"]),
+        deformation_accum=jnp.asarray(payload["deformation_accum"]),
+        aabb=jnp.asarray(payload["aabb"]),
+        active_sh_degree=payload["active_sh_degree"],
+    ), payload
+
+
+def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
+                         dcfg: DeformConfig, stage: str, joint_train: bool,
+                         train_iter: int, timer: Timer,
+                         rng_seed: int = 0) -> TrainState:
+    """One curriculum stage (reference scene_reconstruction,
+    train.py:98-427)."""
+    opt = cfg.optim
+    ex = cfg.extras
+    rng = random.Random(rng_seed)
+    split_key = jax.random.PRNGKey(rng_seed + 7)
+    logger.info(f"stage:{stage} begin... train_iter:{train_iter}, "
+                f"joint_train:{joint_train}")
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                     else [0.0, 0.0, 0.0], jnp.float32)
+    train_cams = scene.getTrainCameras()
+    batch_size = opt.batch_size if "base" in stage else 1
+
+    first = train_cams[0]
+    settings = RasterSettings(
+        image_height=first.height, image_width=first.width,
+        sh_degree=0, lang_dim=cfg.runtime.language_feature_hiddendim,
+        include_feature="base" not in stage,
+        tile_size=cfg.runtime.tile_size,
+        tile_capacity=cfg.runtime.tile_capacity)
+    lr_cfg = LRConfig.from_optim(opt, scene.cameras_extent)
+    step_cfg = StepConfig(
+        settings=settings, dcfg=dcfg, lr_cfg=lr_cfg, stage=stage,
+        joint_train=joint_train, no_dlang=bool(cfg.hidden.no_dlang),
+        lam=ex.lam, beta=ex.beta, addcosloss=cfg.runtime.addcosloss,
+        lambda_dssim=opt.lambda_dssim, nonormalized=cfg.runtime.nonormalized,
+        # the reference's plane-reg guard (`stage == "fine"`) never matches its
+        # stage names (train.py:331) — preserved: regularizer off by default.
+        time_smoothness_weight=0.0,
+        batch_size=batch_size)
+
+    if opt.dataloader:
+        sampler = (FineSampler(train_cams) if opt.custom_sampler is not None
+                   else None)
+        loader = iter(BatchLoader(train_cams, batch_size, sampler=sampler,
+                                  seed=rng_seed))
+    else:
+        loader = None
+        viewpoint_stack = list(range(len(train_cams)))
+        temp_list = list(viewpoint_stack)
+
+    ema_loss = 0.0
+    split = "train"
+    for iteration in range(1, train_iter + 1):
+        if iteration % 1000 == 0:
+            from langsplat4d.train.trainstate import one_up_sh_degree
+            state = one_up_sh_degree(state, cfg.model.sh_degree)
+
+        # ---- camera batch ----
+        if loader is not None:
+            try:
+                cams = next(loader)
+            except StopIteration:
+                loader = iter(BatchLoader(train_cams, batch_size,
+                                          seed=rng_seed + iteration))
+                cams = next(loader)
+        else:
+            cams = []
+            for _ in range(batch_size):
+                idx = viewpoint_stack.pop(rng.randrange(len(viewpoint_stack)))
+                if not viewpoint_stack:
+                    viewpoint_stack = list(temp_list)
+                cams.append(train_cams[idx])
+        batch = build_batch(cams, cfg, scene, split)
+
+        state, metrics, vs_grad, visibility, radii_max = train_step(
+            step_cfg, state, batch, bg, jnp.asarray(iteration, jnp.int32),
+            state.active_sh_degree)
+
+        loss = float(metrics["loss"])
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
+
+        # NaN / explosion watchdog (train.py:341-351)
+        if not np.isfinite(loss):
+            logger.info("loss is nan, end training, reexecv program now.")
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        if loss > 0.5 and iteration > 100 and "coarse-lang" not in stage:
+            logger.info("loss bigger than 0.5, end training, "
+                        "reexecv program now.")
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+
+        if iteration % 100 == 0:
+            logger.info(
+                f"[{stage}] iter {iteration}/{train_iter} "
+                f"loss {ema_loss:.6f} points {int(state.num_active)}")
+
+        timer.pause()
+        if (iteration in ex.save_iterations) and "coarse-base" not in stage:
+            logger.info(f"\n[ITER {iteration}] Saving Gaussians")
+            save_scene(cfg, state, iteration, stage, cfg.model.model_path)
+        timer.start()
+
+        # ---- densification (base stages only, train.py:388-414) ----
+        if iteration < opt.densify_until_iter and "base" in stage:
+            state = D.update_max_radii(state, radii_max, visibility)
+            state = D.add_densification_stats(state, vs_grad, visibility)
+
+            if "coarse" in stage:
+                opacity_threshold = opt.opacity_threshold_coarse
+                densify_threshold = opt.densify_grad_threshold_coarse
+            else:
+                opacity_threshold = opt.opacity_threshold_fine_init \
+                    - iteration * (opt.opacity_threshold_fine_init
+                                   - opt.opacity_threshold_fine_after) \
+                    / opt.densify_until_iter
+                densify_threshold = opt.densify_grad_threshold_fine_init \
+                    - iteration * (opt.densify_grad_threshold_fine_init
+                                   - opt.densify_grad_threshold_after) \
+                    / opt.densify_until_iter
+
+            n_active = int(state.num_active)
+            if (iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0
+                    and n_active < opt.max_points):
+                split_key, sub = jax.random.split(split_key)
+                state = D.densify(state, densify_threshold,
+                                  scene.cameras_extent, opt.percent_dense,
+                                  sub)
+            if (iteration > opt.pruning_from_iter
+                    and iteration % opt.pruning_interval == 0
+                    and n_active > opt.min_points_for_prune):
+                size_threshold = (20.0 if iteration > opt.opacity_reset_interval
+                                  else 0.0)
+                state = D.prune(state, opacity_threshold,
+                                scene.cameras_extent, size_threshold)
+            if iteration % opt.opacity_reset_interval == 0:
+                logger.info("reset opacity")
+                state = D.reset_opacity(state)
+
+        if (iteration in ex.checkpoint_iterations) and "fine" in stage:
+            save_checkpoint(state, iteration, stage, cfg.model.model_path)
+
+    return state
+
+
+def training(cfg: Config) -> TrainState:
+    """Full curriculum (reference training(), train.py:428-466)."""
+    model_path = cfg.model.model_path
+    if not model_path:
+        model_path = os.path.join(cfg.runtime.exps_dir, cfg.extras.expname)
+        cfg.model.model_path = model_path
+    os.makedirs(model_path, exist_ok=True)
+    from langsplat4d.config import save_cfg_args
+    save_cfg_args(cfg, model_path)
+
+    scene = Scene(cfg.model.source_path,
+                  images=cfg.model.images, eval_split=cfg.model.eval,
+                  llffhold=cfg.model.llffhold,
+                  white_background=cfg.model.white_background,
+                  extension=cfg.model.extension,
+                  add_random_points=cfg.model.add_points,
+                  model_path=model_path)
+    timer = Timer()
+    timer.start()
+
+    opt = cfg.optim
+    ex = cfg.extras
+
+    if ex.resume_from_final_stage == 1:
+        # fine-lang-discrete resume path (train.py:436-441), phase B of the
+        # two-phase video-feature schedule (scripts/train_eval.sh:20-33).
+        state, payload = load_checkpoint(ex.start_checkpoint)
+        dcfg = DeformConfig.from_config(cfg.hidden, cfg.runtime,
+                                        max_sh_degree=cfg.model.sh_degree)
+        state = prepare_discrete_stage(cfg, state, dcfg,
+                                       init_from_stage=ex.init_from_stage)
+        state = scene_reconstruction(
+            cfg, scene, state, dcfg, "fine-lang-discrete", ex.joint_fine,
+            opt.fine_lang_iterations + 10000, timer)
+        return state
+
+    state, dcfg = init_state_from_scene(cfg, scene, seed=cfg.extras.seed)
+    stages = [
+        ("coarse-base", False, opt.coarse_base_iterations),
+        ("coarse-lang", ex.joint_coarse, opt.coarse_lang_iterations),
+        ("fine-base", False, opt.fine_base_iterations),
+        ("fine-lang", ex.joint_fine, opt.fine_lang_iterations),
+    ]
+    for stage, joint, iters in stages:
+        if iters > 0:
+            state = scene_reconstruction(cfg, scene, state, dcfg, stage,
+                                         joint, iters, timer)
+    return state
+
+
+def prepare_discrete_stage(cfg: Config, state: TrainState,
+                           dcfg: DeformConfig,
+                           init_from_stage: str = "fine-base",
+                           sample_num: int = 100) -> TrainState:
+    """K-Means/noise init of per-Gaussian discrete feature centers
+    (generate_multi_feature_centers, gaussian_model.py:804-845) and expansion
+    of the language_feature param to centers_num*lang_dim columns."""
+    lang_dim = cfg.runtime.language_feature_hiddendim
+    centers_num = cfg.runtime.centers_num
+    p = state.params
+    lf = np.asarray(p["language_feature"])
+    cap = lf.shape[0]
+    n = int(state.num_active)
+
+    if lf.shape[1] != lang_dim:
+        return state  # already expanded
+
+    if init_from_stage == "fine-base":
+        lf_n = lf / (np.linalg.norm(lf, axis=-1, keepdims=True) + 1e-9)
+        rng = np.random.default_rng(0)
+        multi = np.stack([rng.normal(loc=lf_n, scale=0.05).astype(np.float32)
+                          for _ in range(centers_num)], axis=1)
+    else:
+        # sample deformed language features at random times, then K-Means
+        from sklearn.cluster import KMeans
+        import dataclasses as _dc
+        from langsplat4d.field.deformation import deform_forward
+        gs = state.gaussians()
+        samples = []
+        sample_cfg = _dc.replace(dcfg, no_dlang=False,
+                                 use_discrete_lang_f=False)
+        rng = np.random.default_rng(0)
+        lf_n = lf / (np.linalg.norm(lf, axis=-1, keepdims=True) + 1e-9)
+        for s in range(sample_num):
+            t = jnp.asarray(rng.random((cap, 1)).astype(np.float32))
+            out = deform_forward(
+                p["deform"], sample_cfg, state.aabb, gs.xyz, gs.scaling,
+                gs.rotation, gs.opacity, gs.get_features(),
+                jnp.asarray(lf_n), t, init_centers=True)
+            samples.append(np.asarray(out[5]))
+        res = np.stack(samples, axis=1)  # [cap, sample_num, L]
+        multi = np.zeros((cap, centers_num, lang_dim), np.float32)
+        for i in range(n):
+            km = KMeans(n_clusters=centers_num, random_state=0,
+                        n_init=10).fit(res[i])
+            multi[i] = km.cluster_centers_
+    # reference reshapes [n, centers, dim] -> permute(0,2,1) -> flatten
+    # (gaussian_model.py:230)
+    flat = multi.transpose(0, 2, 1).reshape(cap, -1)
+    params = dict(p, language_feature=jnp.asarray(flat))
+    # fresh Adam moments for the reshaped parameter
+    m = dict(state.opt.m, language_feature=jnp.zeros_like(params["language_feature"]))
+    v = dict(state.opt.v, language_feature=jnp.zeros_like(params["language_feature"]))
+    return state.replace(params=params,
+                         opt=state.opt.replace(m=m, v=v))

@@ -1,0 +1,173 @@
+"""The jitted training step: batched render -> loss -> grads -> Adam.
+
+Maps the body of `scene_reconstruction`'s hot loop (train.py:164-426) into a
+single compiled function per (stage, settings): renders a camera batch
+sequentially under remat, computes the stage loss (train.py:283-337), takes
+grads w.r.t. trainable params AND the NDC viewspace dummies (densify stats,
+train.py:352-354), and applies the per-group Adam update.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from langsplat4d.field.deformation import DeformConfig
+from langsplat4d.render.pipeline import render
+from langsplat4d.render.raster import CameraParams, RasterSettings
+from langsplat4d.train import losses
+from langsplat4d.train.optim import (
+    LRConfig,
+    adam_update,
+    group_lrs,
+    label_tree,
+    trainable_tree,
+)
+from langsplat4d.train.trainstate import TrainState
+
+
+class StepConfig(NamedTuple):
+    """Static per-stage configuration of the train step."""
+    settings: RasterSettings
+    dcfg: DeformConfig
+    lr_cfg: LRConfig
+    stage: str
+    joint_train: bool = False
+    no_dlang: bool = True
+    lam: float = 0.2            # lang-L1 weight (train.py:287, args.lam)
+    beta: float = 0.01          # cos-loss weight (train.py:291, args.beta)
+    addcosloss: bool = False
+    lambda_dssim: float = 0.0
+    nonormalized: bool = False
+    time_smoothness_weight: float = 0.0  # dead in reference (guard train.py:331)
+    l1_time_planes: float = 0.0
+    plane_tv_weight: float = 0.0
+    batch_size: int = 1
+
+
+class Batch(NamedTuple):
+    """A batch of B cameras, stacked on the leading axis."""
+    cams: CameraParams                   # arrays [B, ...]
+    times: jnp.ndarray                   # [B]
+    gt_images: jnp.ndarray               # [B, 3, H, W]
+    gt_lang: Optional[jnp.ndarray]       # [B, L, H, W] or zeros
+    lang_mask: Optional[jnp.ndarray]     # [B, 1, H, W] or ones
+
+
+def _render_batch(cfg: StepConfig, params, num_active, aabb, batch: Batch,
+                  bg, dummies, active_sh_degree: int):
+    """Render all cameras sequentially (lax.map) with rematerialization."""
+    from langsplat4d.core.state import GaussianState
+    import dataclasses as _dc
+
+    settings = _dc.replace(cfg.settings, sh_degree=active_sh_degree)
+    # cfg.no_dlang governs both the graph (reference render(),
+    # gaussian_renderer/__init__.py:121-124 sets args.no_dlang) and
+    # trainability — keep the deformation config consistent with it.
+    dcfg = _dc.replace(cfg.dcfg, no_dlang=cfg.no_dlang)
+    cfg = cfg._replace(dcfg=dcfg)
+    gs = GaussianState(
+        xyz=params["xyz"], features_dc=params["f_dc"],
+        features_rest=params["f_rest"], scaling=params["scaling"],
+        rotation=params["rotation"], opacity=params["opacity"],
+        language_feature=params["language_feature"], num_active=num_active)
+
+    @jax.checkpoint
+    def render_one(args):
+        cam, time, dummy = args
+        out = render(settings, cfg.dcfg, cfg.stage, cam, time, gs,
+                     params["deform"], aabb, bg, means2d_dummy=dummy,
+                     nonormalized=cfg.nonormalized)
+        lang_img = out["language_feature_image"]
+        if lang_img is None:
+            lang_img = jnp.zeros((0,) + out["render"].shape[1:])
+        return (out["render"], lang_img, out["radii"], out["coff"])
+
+    renders = jax.lax.map(render_one, (batch.cams, batch.times, dummies))
+    return renders
+
+
+def _loss_fn(cfg: StepConfig, params, num_active, aabb, batch: Batch, bg,
+             dummies, active_sh_degree: int):
+    images, lang_imgs, radii, coff = _render_batch(
+        cfg, params, num_active, aabb, batch, bg, dummies, active_sh_degree)
+
+    metrics: Dict[str, jnp.ndarray] = {}
+    if "base" in cfg.stage:
+        loss = losses.l1_loss(images, batch.gt_images[:, :3])
+        metrics["rgb_l1"] = loss
+    else:
+        m = batch.lang_mask
+        loss = cfg.lam * losses.l1_loss(lang_imgs * m, batch.gt_lang * m)
+        metrics["lang_l1"] = loss
+        if cfg.addcosloss:
+            cl = losses.cos_loss(jnp.moveaxis(lang_imgs * m, 1, -1),
+                                 jnp.moveaxis(batch.gt_lang * m, 1, -1))
+            loss = loss + cfg.beta * cl
+            metrics["cos"] = cl
+        if cfg.joint_train:
+            rgb_l1 = losses.l1_loss(images, batch.gt_images[:, :3])
+            loss = loss + rgb_l1
+            metrics["rgb_l1"] = rgb_l1
+
+    # Plane regularization hook — preserved with the reference's dead guard
+    # semantics handled by the caller (train.py:331-334).
+    if cfg.time_smoothness_weight != 0.0:
+        from langsplat4d.field.hexplane import compute_regulation
+        loss = loss + compute_regulation(
+            params["deform"]["grid"], cfg.time_smoothness_weight,
+            cfg.l1_time_planes, cfg.plane_tv_weight)
+    if cfg.lambda_dssim != 0.0:
+        s = losses.ssim(images, batch.gt_images[:, :3])
+        loss = loss + cfg.lambda_dssim * (1.0 - s)
+        metrics["ssim"] = s
+
+    metrics["loss"] = loss
+    return loss, (metrics, radii)
+
+
+@partial(jax.jit, static_argnames=("cfg", "active_sh_degree"))
+def train_step(cfg: StepConfig, state: TrainState, batch: Batch,
+               bg: jnp.ndarray, iteration: jnp.ndarray,
+               active_sh_degree: int = 0,
+               ) -> Tuple[TrainState, Dict[str, jnp.ndarray],
+                          jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (new_state, metrics, viewspace_grad_sum [cap,2],
+    visibility_any [cap], radii_max [cap])."""
+    b = batch.gt_images.shape[0]
+    dummies = jnp.zeros((b, state.capacity, 2), jnp.float32)
+
+    grad_fn = jax.grad(_loss_fn, argnums=(1, 6), has_aux=True)
+    (param_grads, dummy_grads), (metrics, radii) = grad_fn(
+        cfg, state.params, state.num_active, state.aabb, batch, bg, dummies,
+        active_sh_degree)
+
+    # Manual viewspace grad summation across the batch (train.py:352-354).
+    vs_grad = jnp.sum(dummy_grads, axis=0)            # [cap, 2]
+    radii_max = jnp.max(radii, axis=0)                # [cap]
+    visibility = radii_max > 0
+
+    labels = label_tree(state.params)
+    lrs = group_lrs(cfg.lr_cfg, iteration)
+    lr_tree = jax.tree.map(lambda lbl: lrs[lbl], labels)
+    train_tree = trainable_tree(
+        state.params, cfg.stage, include_feature=True,
+        joint_train=cfg.joint_train, no_dlang=cfg.no_dlang)
+
+    new_params, new_opt = adam_update(state.params, param_grads, state.opt,
+                                      lr_tree, train_tree)
+    new_state = state.replace(params=new_params, opt=new_opt)
+    return new_state, metrics, vs_grad, visibility, radii_max
+
+
+def eval_step(cfg: StepConfig, state: TrainState, cam: CameraParams,
+              time, bg, active_sh_degree: int = 0):
+    """Single-camera forward for validation/report (no grads)."""
+    import dataclasses as _dc
+    settings = _dc.replace(cfg.settings, sh_degree=active_sh_degree)
+    gs = state.gaussians()
+    return render(settings, cfg.dcfg, cfg.stage, cam, time, gs,
+                  state.params["deform"], state.aabb, bg,
+                  nonormalized=cfg.nonormalized)

@@ -1,0 +1,277 @@
+"""Golden-value and gradient tests for the TPU rasterizer.
+
+The naive compositor here is an independent per-pixel numpy implementation of
+the CUDA forward semantics (front-to-back blending, alpha<1/255 skip, T<1e-4
+stop) used as the slow reference (SURVEY §4 test strategy).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langsplat4d.core.transforms import (
+    world_to_view, projection_matrix, quat_to_rotmat)
+from langsplat4d.render import raster as R
+
+
+def make_camera(H=64, W=64, fovx=1.0, fovy=1.0, cam_z=-5.0):
+    Rm = np.eye(3)
+    T = np.array([0.0, 0.0, -cam_z])  # world origin at depth -cam_z
+    world_view = world_to_view(Rm, T).T            # stored transposed
+    proj = projection_matrix(0.01, 100.0, fovx, fovy).T
+    full = world_view @ proj
+    campos = np.linalg.inv(world_view)[3, :3]
+    cam = R.CameraParams(
+        viewmatrix=jnp.asarray(world_view),
+        projmatrix=jnp.asarray(full),
+        campos=jnp.asarray(campos),
+        tanfovx=jnp.asarray(np.tan(fovx / 2), jnp.float32),
+        tanfovy=jnp.asarray(np.tan(fovy / 2), jnp.float32),
+    )
+    return cam
+
+
+def random_scene(rng, n=120, spread=1.2):
+    means = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    means[:, 2] = rng.uniform(-1.0, 1.0, size=n)
+    scales = np.exp(rng.uniform(-3.5, -2.2, size=(n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = rng.uniform(0.2, 0.95, size=(n, 1)).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(n, 3)).astype(np.float32)
+    lang = rng.normal(size=(n, 3)).astype(np.float32)
+    lang /= np.linalg.norm(lang, axis=-1, keepdims=True) + 1e-9
+    return means, scales, quats, opac, colors, lang
+
+
+def naive_composite(prep, order, colors, lang, bg, H, W):
+    """Per-pixel reference loop (CUDA renderCUDA semantics)."""
+    xy = np.asarray(prep["point_image"])
+    con = np.asarray(prep["conic"])
+    op = np.asarray(prep["opacity"])
+    dep = np.asarray(prep["depth"])
+    vis = np.asarray(prep["visible"])
+    rmin = np.asarray(prep["rect_min"])
+    rmax = np.asarray(prep["rect_max"])
+    L = lang.shape[1]
+    out = np.zeros((3 + L + 2, H, W), np.float32)
+    for py in range(H):
+        for px in range(W):
+            T = 1.0
+            acc = np.zeros(3 + L + 1, np.float32)
+            tx, ty = px // 16, py // 16
+            for g in order:
+                if not vis[g]:
+                    continue
+                # CUDA tile-rect culling: a Gaussian touches this pixel only
+                # if the pixel's tile lies in the Gaussian's rect.
+                if not (rmin[g, 0] <= tx < rmax[g, 0]
+                        and rmin[g, 1] <= ty < rmax[g, 1]):
+                    continue
+                dx = xy[g, 0] - px
+                dy = xy[g, 1] - py
+                power = (-0.5 * (con[g, 0] * dx * dx + con[g, 2] * dy * dy)
+                         - con[g, 1] * dx * dy)
+                if power > 0:
+                    continue
+                alpha = min(0.99, op[g] * np.exp(power))
+                if alpha < 1 / 255:
+                    continue
+                test_T = T * (1 - alpha)
+                if test_T < 1e-4:
+                    break
+                feat = np.concatenate([colors[g], lang[g], [dep[g]]])
+                acc += feat * alpha * T
+                T = test_T
+            out[:3, py, px] = acc[:3] + T * bg
+            out[3:3 + L, py, px] = acc[3:3 + L]
+            out[3 + L, py, px] = acc[3 + L]
+            out[3 + L + 1, py, px] = T
+    return out
+
+
+class TestPreprocess:
+    def test_center_gaussian_projects_to_image_center(self):
+        cam = make_camera()
+        settings = R.RasterSettings(64, 64, sh_degree=0, lang_dim=0,
+                                    tile_capacity=64, composite_chunk=32)
+        means = jnp.zeros((1, 3))
+        prep = R.preprocess(
+            settings, cam, means, jnp.zeros((1, 2)),
+            jnp.ones((1, 1)) * 0.9, jnp.ones((1, 3)) * 0.05,
+            jnp.asarray([[1.0, 0, 0, 0]]), None,
+            colors_precomp=jnp.ones((1, 3)))
+        pi = np.asarray(prep["point_image"])[0]
+        # ndc 0 -> pixel (W-1)/2
+        np.testing.assert_allclose(pi, [31.5, 31.5], atol=1e-4)
+        assert bool(prep["visible"][0])
+
+    def test_ewa_cov2d_matches_monte_carlo(self, rng):
+        """Propagate samples of N(mean, cov3d) through the exact projection and
+        compare the empirical pixel covariance with the analytic EWA one."""
+        cam = make_camera()
+        settings = R.RasterSettings(64, 64, sh_degree=0, lang_dim=0)
+        mean = np.array([[0.3, -0.2, 0.4]], np.float32)
+        scales = np.array([[0.05, 0.08, 0.03]], np.float32)
+        quat = rng.normal(size=(1, 4)).astype(np.float32)
+        quat /= np.linalg.norm(quat)
+        prep = R.preprocess(
+            settings, cam, jnp.asarray(mean), jnp.zeros((1, 2)),
+            jnp.ones((1, 1)), jnp.asarray(scales), jnp.asarray(quat), None,
+            colors_precomp=jnp.ones((1, 3)))
+        conic = np.asarray(prep["conic"])[0]
+        det = conic[0] * conic[2] - conic[1] ** 2
+        cov2d = np.array([[conic[2], -conic[1]], [-conic[1], conic[0]]]) / det
+        cov2d -= 0.3 * np.eye(2)  # remove low-pass dilation
+
+        # Monte-Carlo through the exact nonlinear projection
+        Rm = np.asarray(quat_to_rotmat(jnp.asarray(quat))[0])
+        L = Rm * scales[0]
+        cov3d = L @ L.T
+        samples = rng.multivariate_normal(mean[0], cov3d, size=200000)
+        ph = np.concatenate([samples, np.ones((len(samples), 1))], axis=1)
+        proj = ph @ np.asarray(cam.projmatrix)
+        ndc = proj[:, :2] / (proj[:, 3:4] + 1e-7)
+        pix = ((ndc + 1) * np.array([64, 64]) - 1) * 0.5
+        emp = np.cov(pix.T)
+        np.testing.assert_allclose(cov2d, emp, rtol=0.05, atol=0.02)
+
+
+class TestRasterGolden:
+    @pytest.mark.parametrize("lang_dim", [0, 3])
+    def test_matches_naive_compositor(self, rng, lang_dim):
+        H = W = 64
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=lang_dim,
+            include_feature=lang_dim > 0,
+            tile_capacity=128, composite_chunk=32, bin_tile_chunk=8,
+            composite_tile_chunk=8)
+        means, scales, quats, opac, colors, lang = random_scene(rng)
+        lang = lang[:, :lang_dim] if lang_dim else np.zeros((len(means), 0),
+                                                            np.float32)
+        bg = np.array([1.0, 1.0, 1.0], np.float32)
+
+        # Hermetic staging: materialize prep as concrete device arrays and
+        # feed them to bin+composite as jit *arguments*, so both the naive
+        # reference and the compositor consume bit-identical inputs. (XLA
+        # otherwise duplicates fused preprocess math into consumers with
+        # different FMA contraction, which the exp() in alpha amplifies.)
+        prep = jax.jit(
+            lambda mn, dm, op, sc, qt, cl: R.preprocess(
+                settings, cam, mn, dm, op, sc, qt, None, cl)
+        )(jnp.asarray(means), jnp.zeros((len(means), 2)), jnp.asarray(opac),
+          jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+        prep = jax.tree.map(jnp.asarray, jax.device_get(prep))
+
+        def staged(prep, lg, bgc):
+            entries, valid = R.bin_tiles(settings, prep)
+            feats = lg if settings.include_feature else jnp.zeros(
+                (len(means), 0), jnp.float32)
+            img, _ = R.composite_tiles(settings, prep, entries, valid, feats,
+                                       bgc)
+            return img
+
+        img = jax.jit(staged)(prep, jnp.asarray(lang), jnp.asarray(bg))
+        rendered = img[:3]
+        lang_img = img[3:3 + lang_dim]
+        depth_img = img[3 + lang_dim:4 + lang_dim]
+
+        dep = np.asarray(prep["depth"])
+        vis = np.asarray(prep["visible"])
+        order = np.argsort(np.where(vis, dep, np.inf))
+        ref = naive_composite(prep, order, colors, lang, bg, H, W)
+
+        # Residual diffs: fp32-vs-fp64 roundoff in alpha/cumprod, plus rare
+        # alpha~1/255 threshold flips (bounded by ~alpha_min * color).
+        def check(a, b, bulk=5e-5, worst=5e-3):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            assert np.quantile(d, 0.99) < bulk, np.quantile(d, 0.99)
+            assert d.max() < worst, d.max()
+
+        check(rendered, ref[:3])
+        if lang_dim:
+            check(lang_img, ref[3:3 + lang_dim])
+        check(np.asarray(depth_img)[0], ref[3 + lang_dim], bulk=5e-4,
+              worst=5e-2)
+
+    def test_radii_positive_only_for_visible(self, rng):
+        H = W = 64
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(H, W, sh_degree=0, lang_dim=0,
+                                    include_feature=False, tile_capacity=64,
+                                    composite_chunk=32, composite_tile_chunk=8)
+        means, scales, quats, opac, colors, _ = random_scene(rng, n=50)
+        means[0] = [0, 0, 100.0]  # behind far plane region but still +z
+        means[1] = [0, 0, -20.0]  # behind the camera
+        _, _, radii, _ = R.rasterize(
+            settings, cam, jnp.asarray(means), jnp.zeros((50, 2)),
+            jnp.asarray(opac), jnp.asarray(scales), jnp.asarray(quats),
+            None, jnp.asarray(colors), jnp.zeros((50, 0)),
+            jnp.zeros(3))
+        radii = np.asarray(radii)
+        assert radii[1] == 0.0  # culled: view z < 0.2
+        assert (radii >= 0).all()
+
+
+class TestRasterGrad:
+    def test_grad_matches_finite_difference(self, rng):
+        H = W = 32
+        cam = make_camera(H, W)
+        # hard_cutoffs off: the alpha>=1/255 and T<1e-4 cutoffs are step
+        # discontinuities that finite differences cannot cross.
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=2, include_feature=True,
+            tile_capacity=32, composite_chunk=16, bin_tile_chunk=4,
+            composite_tile_chunk=4, hard_cutoffs=False)
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=20)
+        lang = lang[:, :2]
+        bg = jnp.zeros(3)
+        target = jnp.asarray(rng.uniform(size=(3, H, W)).astype(np.float32))
+
+        def loss_fn(op, lg):
+            rendered, lang_img, _, _ = R.rasterize(
+                settings, cam, jnp.asarray(means), jnp.zeros((20, 2)),
+                op, jnp.asarray(scales), jnp.asarray(quats), None,
+                jnp.asarray(colors), lg, bg)
+            return jnp.mean(jnp.abs(rendered - target)) + jnp.mean(lang_img ** 2)
+
+        loss_fn = jax.jit(loss_fn)
+        op0 = jnp.asarray(opac)
+        lg0 = jnp.asarray(lang)
+        g_op, g_lang = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))(op0, lg0)
+        # finite difference on a few entries
+        eps = 1e-3
+        for idx in [(0, 0), (5, 0), (12, 0)]:
+            op_p = op0.at[idx].add(eps)
+            op_m = op0.at[idx].add(-eps)
+            fd = (loss_fn(op_p, lg0) - loss_fn(op_m, lg0)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(g_op[idx]), np.asarray(fd),
+                                       rtol=0.05, atol=1e-4)
+        for idx in [(3, 1), (8, 0)]:
+            lg_p = lg0.at[idx].add(eps)
+            lg_m = lg0.at[idx].add(-eps)
+            fd = (loss_fn(op0, lg_p) - loss_fn(op0, lg_m)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(g_lang[idx]), np.asarray(fd),
+                                       rtol=0.05, atol=1e-4)
+
+    def test_viewspace_grad_flows(self, rng):
+        """The NDC dummy input must receive gradients (densify stats source,
+        train.py:352-354)."""
+        H = W = 32
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=0, include_feature=False,
+            tile_capacity=32, composite_chunk=16, composite_tile_chunk=4)
+        means, scales, quats, opac, colors, _ = random_scene(rng, n=20)
+
+        def loss_fn(dummy):
+            rendered, _, _, _ = R.rasterize(
+                settings, cam, jnp.asarray(means), dummy,
+                jnp.asarray(opac), jnp.asarray(scales), jnp.asarray(quats),
+                None, jnp.asarray(colors), jnp.zeros((20, 0)), jnp.zeros(3))
+            return jnp.sum(rendered ** 2)
+
+        g = jax.jit(jax.grad(loss_fn))(jnp.zeros((20, 2)))
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
