@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark: steady-state render FPS at the reference's flagship workload.
+
+Synthetic Neu3D-scale scene (1352x1014 render, ~200k Gaussians, RGB +
+language channels, full HexPlane deformation — the reference `render.py`
+fine-lang path whose FPS line is the headline metric, render.py:133-134).
+North-star from BASELINE.md: >= 30 FPS on one v5e chip -> vs_baseline = fps/30.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from langsplat4d.core import state as statelib
+    from langsplat4d.core.transforms import projection_matrix, world_to_view
+    from langsplat4d.field.deformation import DeformConfig, init_deform_params
+    from langsplat4d.render.pipeline import render
+    from langsplat4d.render.raster import CameraParams, RasterSettings
+
+    H, W = 1014, 1352                      # Neu3D resolution
+    n = int(os.getenv("BENCH_N", 200_000))  # within densify bounds 200k-360k
+    lang_dim = 3
+    frames = int(os.getenv("BENCH_FRAMES", 60))
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.2, 1.2, size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    cap = statelib.round_capacity(n)
+    # realistic scale distribution: small splats (a trained scene's scales)
+    gs = statelib.create_from_pcd(pts, cols, max_sh_degree=3,
+                                  lang_dim=lang_dim, capacity=cap)
+    scaling = np.full((cap, 3), np.log(0.01), np.float32)
+    lang = rng.normal(size=(cap, lang_dim)).astype(np.float32)
+    gs = gs.replace(scaling=jnp.asarray(scaling), language_feature=jnp.asarray(lang))
+
+    dcfg = DeformConfig(lang_dim=lang_dim, no_dlang=False)  # reference default
+    dparams = init_deform_params(jax.random.PRNGKey(0), dcfg)
+    aabb = jnp.asarray([[1.6] * 3, [-1.6] * 3], jnp.float32)
+
+    Rm = np.eye(3)
+    T = np.array([0.0, 0.0, 4.0])
+    wv = world_to_view(Rm, T).T
+    proj = projection_matrix(0.01, 100.0, 1.0, 0.8).T
+    cam = CameraParams(
+        viewmatrix=jnp.asarray(wv), projmatrix=jnp.asarray(wv @ proj),
+        campos=jnp.asarray(np.linalg.inv(wv)[3, :3]),
+        tanfovx=jnp.asarray(np.tan(0.5), jnp.float32),
+        tanfovy=jnp.asarray(np.tan(0.4), jnp.float32))
+
+    settings = RasterSettings(
+        image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
+        include_feature=True,
+        tile_capacity=int(os.getenv("BENCH_TILE_CAP", 512)))
+    bg = jnp.zeros(3)
+
+    @jax.jit
+    def render_frame(t):
+        out = render(settings, dcfg, "fine-lang", cam, t, gs, dparams, aabb,
+                     bg)
+        return out["render"], out["language_feature_image"]
+
+    # compile + warm up
+    out = render_frame(jnp.asarray(0.0))
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for i in range(frames):
+        out = render_frame(jnp.asarray(i / frames))
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    fps = frames / dt
+
+    print(json.dumps({
+        "metric": "render_fps_neu3d_scale",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Render driver: render train/test/video splits in rgb or lang mode, save
+PNG/raw-npy/mp4, print the FPS line (reference render.py:67-161).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time as time_mod
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from langsplat4d.config import Config
+from langsplat4d.data.scene import Scene
+from langsplat4d.field.deformation import DeformConfig
+from langsplat4d.render.pipeline import render
+from langsplat4d.render.raster import RasterSettings
+from langsplat4d.train.trainstate import TrainState
+from langsplat4d.utils.logging import get_logger
+
+logger = get_logger()
+
+to8b = lambda x: (255 * np.clip(x, 0, 1)).astype(np.uint8)  # noqa: E731
+
+
+def pca_compress(feature_map: np.ndarray) -> np.ndarray:
+    """[C>3,H,W] -> [3,H,W] PCA visualization (render.py:52-65)."""
+    from sklearn.decomposition import PCA
+    c, h, w = feature_map.shape
+    flat = feature_map.transpose(1, 2, 0).reshape(-1, c)
+    pca = PCA(n_components=3)
+    out = pca.fit_transform(flat).reshape(h, w, 3)
+    out = (out - out.min()) / (out.max() - out.min())
+    return out.transpose(2, 0, 1)
+
+
+def _write_images(images: List[np.ndarray], path: str) -> None:
+    from PIL import Image
+
+    def write_one(i, img):
+        arr = to8b(img).transpose(1, 2, 0)
+        if arr.shape[2] == 1:
+            arr = arr[:, :, 0]
+        Image.fromarray(arr).save(os.path.join(path, f"{i:05d}.png"))
+
+    with ThreadPoolExecutor() as ex:
+        list(ex.map(lambda t: write_one(*t), enumerate(images)))
+
+
+def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
+               scene: Scene, name: str, iteration: int, views,
+               mode: str = "rgb", load_stage: str = "fine-lang",
+               noimage: bool = False, nonpy: bool = False,
+               novideo: bool = False) -> float:
+    """Renders one split; returns measured FPS (render.py:95,133-134)."""
+    model_path = cfg.model.model_path
+    only_eval = cfg.runtime.only_eval
+    lf_path = cfg.model.lf_path
+    data_type = scene.dataset_type
+
+    save_name = f"{name}_{mode}"
+    base = os.path.join(model_path, save_name, f"ours_{iteration}")
+    render_path = os.path.join(base, "renders")
+    gts_path = os.path.join(base, "gt")
+    render_npy_path = os.path.join(base, "renders_npy")
+    gts_npy_path = os.path.join(base, "gt_npy")
+    for p in (render_path, gts_path, render_npy_path, gts_npy_path):
+        os.makedirs(p, exist_ok=True)
+
+    first = views[0]
+    include_feature = "base" not in load_stage and mode == "lang"
+    settings = RasterSettings(
+        image_height=first.height, image_width=first.width,
+        sh_degree=state.active_sh_degree,
+        lang_dim=dcfg.lang_dim,
+        include_feature="base" not in load_stage,
+        tile_size=cfg.runtime.tile_size,
+        tile_capacity=cfg.runtime.tile_capacity)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
+                     else [0.0, 0.0, 0.0], jnp.float32)
+    gs = state.gaussians()
+    deform = state.params["deform"]
+    aabb = state.aabb
+
+    @jax.jit
+    def render_one(camp, t):
+        out = render(settings, dcfg, load_stage, camp, t, gs, deform, aabb, bg,
+                     nonormalized=cfg.runtime.nonormalized)
+        key = "render" if mode == "rgb" else "language_feature_image"
+        return out[key]
+
+    logger.info(f"name:{name} point nums:{int(state.num_active)} "
+                f"len:{len(views)}")
+
+    # warm-up: compile outside the timed region (the CUDA reference has no
+    # compile step; the FPS line measures steady-state throughput)
+    _ = jax.block_until_ready(render_one(views[0].camera_params(),
+                                         jnp.asarray(views[0].time)))
+
+    render_list: List[np.ndarray] = []
+    gt_nonorm_list: List[Optional[np.ndarray]] = []
+    gt_list: List[Optional[np.ndarray]] = []
+    tosave_rendering: List[np.ndarray] = []
+    render_images: List[np.ndarray] = []
+    time1 = time_mod.time()
+    for idx, view in enumerate(views):
+        out = render_one(view.camera_params(), jnp.asarray(view.time))
+        rendering = np.asarray(jax.block_until_ready(out))
+        render_list.append(rendering)
+    time2 = time_mod.time()
+    fps = (len(views) - 1) / max(time2 - time1, 1e-9)
+    print("FPS:", fps)
+
+    for idx, view in enumerate(views):
+        rendering = render_list[idx]
+        if mode == "rgb":
+            gt = view.image[:3] if view.image is not None else None
+            gt_nonorm_list.append(gt)
+        else:
+            if only_eval or lf_path is None:
+                gt = None
+                gt_nonorm_list.append(gt)
+            else:
+                gt, _mask = view.get_language_feature(
+                    lf_path, cfg.model.feature_level, split=name,
+                    data_type=data_type)
+                gt_nonorm_list.append(gt)
+                if gt is not None and (data_type != "dynerf"
+                                       or name != "video"):
+                    gt = (gt + 1.0) / 2
+            rendering = (rendering + 1.0) / 2
+            if rendering.shape[0] > 3:
+                rendering = pca_compress(rendering)
+                gt = pca_compress(gt) if gt is not None else None
+        gt_list.append(gt)
+        tosave_rendering.append(rendering)
+        render_images.append(to8b(rendering).transpose(1, 2, 0))
+
+    if not noimage:
+        if gt_list and gt_list[0] is not None:
+            _write_images([g for g in gt_list if g is not None], gts_path)
+        _write_images(tosave_rendering, render_path)
+
+    if not nonpy:
+        for idx in range(len(render_list)):
+            np.save(os.path.join(render_npy_path, f"{idx:05d}.npy"),
+                    render_list[idx].transpose(1, 2, 0))
+            if gt_nonorm_list[idx] is not None:
+                np.save(os.path.join(gts_npy_path, f"{idx:05d}.npy"),
+                        gt_nonorm_list[idx].transpose(1, 2, 0))
+
+    if not novideo:
+        import imageio
+        imageio.mimwrite(os.path.join(base, f"video_{mode}.mp4"),
+                         render_images, fps=30)
+    return fps

@@ -45,6 +45,9 @@ class StepConfig(NamedTuple):
     l1_time_planes: float = 0.0
     plane_tv_weight: float = 0.0
     batch_size: int = 1
+    # vmap the camera batch instead of lax.map: required for data-parallel
+    # sharding of the batch axis (scan is sequential and cannot shard).
+    vmap_batch: bool = False
 
 
 class Batch(NamedTuple):
@@ -85,7 +88,10 @@ def _render_batch(cfg: StepConfig, params, num_active, aabb, batch: Batch,
             lang_img = jnp.zeros((0,) + out["render"].shape[1:])
         return (out["render"], lang_img, out["radii"], out["coff"])
 
-    renders = jax.lax.map(render_one, (batch.cams, batch.times, dummies))
+    if cfg.vmap_batch:
+        renders = jax.vmap(render_one)((batch.cams, batch.times, dummies))
+    else:
+        renders = jax.lax.map(render_one, (batch.cams, batch.times, dummies))
     return renders
 
 

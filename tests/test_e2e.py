@@ -1,0 +1,119 @@
+"""End-to-end smoke: tiny HyperNeRF scene -> 4-stage training -> render CLI.
+
+This is the CPU-runnable equivalent of the reference's only acceptance path
+(train -> render -> eval); exercises scene sniffing, the curriculum, language
+features, checkpoint save/load, and the FPS-measured render driver.
+"""
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from tests.scene_fixture import make_nerfies_scene
+
+
+@pytest.fixture(scope="module")
+def tiny_scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene")
+    return make_nerfies_scene(str(root / "nerfies"), n_imgs=8, hw=64,
+                              n_points=100)
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tiny_scene, tmp_path_factory):
+    from langsplat4d.config import Config
+    out = tmp_path_factory.mktemp("out")
+    cfg = Config()
+    cfg.model.source_path = tiny_scene
+    cfg.model.model_path = str(out / "model")
+    cfg.model.language_features_name = "language_features"
+    cfg.model.feature_level = 1
+    cfg.optim.coarse_base_iterations = 10
+    cfg.optim.coarse_lang_iterations = 5
+    cfg.optim.fine_base_iterations = 10
+    cfg.optim.fine_lang_iterations = 10
+    cfg.optim.densify_from_iter = 3
+    cfg.optim.densification_interval = 5
+    cfg.optim.pruning_from_iter = 1000  # off
+    cfg.optim.opacity_reset_interval = 10000  # off
+    cfg.optim.max_points = 200
+    cfg.optim.batch_size = 2
+    cfg.runtime.capacity_granule = 256
+    cfg.runtime.tile_capacity = 256
+    cfg.extras.save_iterations = [10]
+    cfg.extras.checkpoint_iterations = [10]
+    cfg.hidden.kplanes_config = {
+        "grid_dimensions": 2, "input_coordinate_dim": 4,
+        "output_coordinate_dim": 4, "resolution": [8, 8, 8, 4]}
+    cfg.hidden.multires = [1]
+    cfg.hidden.net_width = 16
+    cfg.hidden.posebase_pe = 2
+    cfg.hidden.no_dlang = 0
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tiny_cfg):
+    from langsplat4d.train.loop import training
+    return training(tiny_cfg)
+
+
+@pytest.mark.slow
+def test_full_training_curriculum(tiny_cfg, trained):
+    state = trained
+    assert int(state.num_active) >= 100  # clones may have added points
+    # saved scene exists for fine stages at iteration 10
+    pc = os.path.join(tiny_cfg.model.model_path, "point_cloud")
+    assert os.path.isdir(os.path.join(pc, "fine-lang_iteration_10")), \
+        os.listdir(pc)
+    assert os.path.exists(os.path.join(
+        pc, "fine-lang_iteration_10", "point_cloud.ply"))
+    assert os.path.exists(os.path.join(
+        pc, "fine-lang_iteration_10", "deformation.pth"))
+    # full checkpoint written
+    assert os.path.exists(os.path.join(
+        tiny_cfg.model.model_path, "chkpnt_fine-lang_10.pth"))
+    # cfg_args persisted
+    assert os.path.exists(os.path.join(tiny_cfg.model.model_path, "cfg_args"))
+
+
+@pytest.mark.slow
+def test_render_driver_after_training(tiny_cfg, trained):
+    from langsplat4d.checkpoint import load_trained_model
+    from langsplat4d.data.scene import Scene
+    from langsplat4d.field.deformation import DeformConfig
+    from langsplat4d.render.driver import render_set
+
+    scene = Scene(tiny_cfg.model.source_path,
+                  model_path=tiny_cfg.model.model_path)
+    dcfg = DeformConfig.from_config(tiny_cfg.hidden, tiny_cfg.runtime,
+                                    max_sh_degree=tiny_cfg.model.sh_degree)
+    state, it = load_trained_model(
+        tiny_cfg.model.model_path, "fine-lang", -1, dcfg,
+        max_sh_degree=tiny_cfg.model.sh_degree, aabb=scene.aabb)
+    assert it == 10
+
+    views = [scene.getTestCameras()[i]
+             for i in range(len(scene.getTestCameras()))]
+    fps = render_set(tiny_cfg, state, dcfg, scene, "test", it, views,
+                     mode="rgb", load_stage="fine-lang", novideo=True)
+    assert fps >= 0
+    base = os.path.join(tiny_cfg.model.model_path, "test_rgb", f"ours_{it}")
+    assert len(glob.glob(os.path.join(base, "renders", "*.png"))) == len(views)
+    assert len(glob.glob(os.path.join(base, "renders_npy", "*.npy"))) \
+        == len(views)
+    img = np.asarray([np.load(p) for p in
+                      sorted(glob.glob(os.path.join(base, "renders_npy",
+                                                    "*.npy")))])
+    assert np.isfinite(img).all()
+
+    # lang mode renders + raw npy maps for eval
+    fps = render_set(tiny_cfg, state, dcfg, scene, "test", it, views,
+                     mode="lang", load_stage="fine-lang", novideo=True)
+    lang_base = os.path.join(tiny_cfg.model.model_path, "test_lang",
+                             f"ours_{it}")
+    maps = sorted(glob.glob(os.path.join(lang_base, "renders_npy", "*.npy")))
+    assert len(maps) == len(views)
+    m = np.load(maps[0])
+    assert m.shape[-1] == 3  # lang_dim channels

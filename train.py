@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Training CLI — parity with reference `python train.py` (train.py:559-622).
+
+Flags mirror the reference argparse groups (--source_path, --model_path,
+--expname, --configs, stage iteration counts, --joint_coarse/--joint_fine,
+--lam/--beta, --resume_from_final_stage, ...); python config files with
+`_base_` inheritance are supported via --configs.
+"""
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    from langsplat4d.config import parse_cli
+    from langsplat4d.utils.logging import add_file_sink, get_logger, safe_state
+
+    cfg = parse_cli(argv, description="Training script parameters")
+    logger = get_logger()
+
+    if not cfg.model.model_path:
+        cfg.model.model_path = os.path.join(cfg.runtime.exps_dir,
+                                            cfg.extras.expname)
+    timestamp = time.strftime("%Y%m%d_%H%M%S")
+    base_save_path = os.path.join(cfg.runtime.exps_dir, cfg.extras.expname)
+    add_file_sink(os.path.join(base_save_path, "log"),
+                  f"log_{timestamp}_train.log")
+    logger.info(f"Optimizing {cfg.model.model_path}")
+
+    safe_state(seed=cfg.extras.seed)
+    # default save marks (train.py:617-618)
+    for it in (10000, 20000):
+        if it not in cfg.extras.save_iterations:
+            cfg.extras.save_iterations.append(it)
+
+    from langsplat4d.train.loop import training
+    training(cfg)
+    logger.info("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
