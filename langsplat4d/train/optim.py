@@ -52,7 +52,8 @@ def adam_init(params) -> AdamState:
                      step=jnp.asarray(0, jnp.int32))
 
 
-def adam_update(params, grads, opt: AdamState, lr_tree, train_tree):
+def adam_update(params, grads, opt: AdamState, lr_tree, train_tree,
+                eps: float = EPS):
     """One Adam step. lr_tree: per-leaf scalar LR; train_tree: per-leaf bool
     (False leaves keep params AND moments untouched, like requires_grad=False).
     """
@@ -68,7 +69,7 @@ def adam_update(params, grads, opt: AdamState, lr_tree, train_tree):
         v_new = BETA2 * v + (1 - BETA2) * g * g
         m_hat = m_new / bc1
         v_hat = v_new / bc2
-        p_new = p - lr * m_hat / (jnp.sqrt(v_hat) + EPS)
+        p_new = p - lr * m_hat / (jnp.sqrt(v_hat) + eps)
         return p_new, m_new, v_new
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)
