@@ -73,6 +73,21 @@ class RasterSettings:
     # finite-difference gradient validation — the cutoffs are step
     # discontinuities that FD cannot cross.
     hard_cutoffs: bool = True
+    # Two-level binning: coarse cells of `bin_cell_tiles` x `bin_cell_tiles`
+    # tiles prefilter Gaussians (capacity `cell_capacity`), then per-tile
+    # selection runs over the cell list instead of all N. Cuts binning work by
+    # ~N/cell_capacity. Off -> direct per-tile top-k over all N.
+    two_level_binning: bool = True
+    bin_cell_tiles: int = 8
+    cell_capacity: int = 8192
+
+    @property
+    def cells_x(self) -> int:
+        return -(-self.tiles_x // self.bin_cell_tiles)
+
+    @property
+    def cells_y(self) -> int:
+        return -(-self.tiles_y // self.bin_cell_tiles)
 
     @property
     def tiles_x(self) -> int:
@@ -204,6 +219,17 @@ def preprocess(
     )
 
 
+def _topk_padded(score: jnp.ndarray, k: int):
+    """top_k along the last axis, padded with -inf columns if k > width."""
+    k_eff = min(k, score.shape[-1])
+    top_scores, top_idx = jax.lax.top_k(score, k_eff)
+    if k_eff < k:
+        pad = [(0, 0)] * (score.ndim - 1) + [(0, k - k_eff)]
+        top_idx = jnp.pad(top_idx, pad)
+        top_scores = jnp.pad(top_scores, pad, constant_values=-jnp.inf)
+    return top_scores, top_idx.astype(jnp.int32)
+
+
 def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
     """Per-tile front-to-back Gaussian lists via depth-rank top-k.
 
@@ -211,6 +237,11 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
     [T, K] bool). Scatter-free: for each tile the score of Gaussian g is
     -depth_rank(g) if g's rect covers the tile else -inf; top-k recovers the
     first K covering Gaussians already in depth order.
+
+    With `two_level_binning`, a coarse pass first selects per-cell candidate
+    lists (cells of bin_cell_tiles^2 tiles), and the per-tile pass only scans
+    its cell's candidates — the TPU equivalent of CUDA's duplicate+radix-sort
+    tile binning without device-side dynamic allocation.
     """
     # Binning is pure integer selection — no gradients flow through it.
     prep = jax.lax.stop_gradient(prep)
@@ -220,38 +251,99 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
     order = jnp.argsort(depth_sorted)                 # [N] front-to-back
     rank_of = jnp.argsort(order).astype(jnp.float32)  # rank[g] in depth order
 
-    tiles = jnp.arange(settings.num_tiles, dtype=jnp.int32)
-    tx = (tiles % settings.tiles_x).astype(jnp.float32)
-    ty = (tiles // settings.tiles_x).astype(jnp.float32)
-
     rect_min, rect_max = prep["rect_min"], prep["rect_max"]
     visible = prep["visible"]
 
+    def tile_coords(pad_to: int):
+        tiles = jnp.arange(pad_to, dtype=jnp.int32)
+        return ((tiles % settings.tiles_x).astype(jnp.float32),
+                (tiles // settings.tiles_x).astype(jnp.float32))
+
+    if not settings.two_level_binning:
+        chunk = settings.bin_tile_chunk
+        num_chunks = -(-settings.num_tiles // chunk)
+        pad_tiles = num_chunks * chunk
+        tx, ty = tile_coords(pad_tiles)
+
+        def tile_chunk(ci):
+            cx = jax.lax.dynamic_slice(tx, (ci * chunk,), (chunk,))
+            cy = jax.lax.dynamic_slice(ty, (ci * chunk,), (chunk,))
+            covers = (
+                (rect_min[None, :, 0] <= cx[:, None])
+                & (cx[:, None] < rect_max[None, :, 0])
+                & (rect_min[None, :, 1] <= cy[:, None])
+                & (cy[:, None] < rect_max[None, :, 1])
+                & visible[None, :]
+            )  # [chunk, N]
+            score = jnp.where(covers, -rank_of[None, :], -jnp.inf)
+            top_scores, top_idx = _topk_padded(score, k)
+            return top_idx, top_scores > -jnp.inf
+
+        idx, valid = jax.lax.map(tile_chunk, jnp.arange(num_chunks))
+        entries = idx.reshape(pad_tiles, k)[: settings.num_tiles]
+        valid = valid.reshape(pad_tiles, k)[: settings.num_tiles]
+        return entries, valid
+
+    # ---- level 1: coarse cells ----
+    cell = settings.bin_cell_tiles
+    kc = settings.cell_capacity
+    n_cells = settings.cells_x * settings.cells_y
+    cells = jnp.arange(n_cells, dtype=jnp.int32)
+    cell_tx0 = ((cells % settings.cells_x) * cell).astype(jnp.float32)
+    cell_ty0 = ((cells // settings.cells_x) * cell).astype(jnp.float32)
+    # cell covers [tx0, tx0+cell) tiles; a gaussian's tile-rect intersects it
+    # iff rect_min < tx0+cell and rect_max > tx0.
+    covers_c = (
+        (rect_min[None, :, 0] < cell_tx0[:, None] + cell)
+        & (rect_max[None, :, 0] > cell_tx0[:, None])
+        & (rect_min[None, :, 1] < cell_ty0[:, None] + cell)
+        & (rect_max[None, :, 1] > cell_ty0[:, None])
+        & visible[None, :]
+    )  # [n_cells, N]
+    score_c = jnp.where(covers_c, -rank_of[None, :], -jnp.inf)
+    cell_scores, cell_entries = _topk_padded(score_c, kc)  # [n_cells, kc]
+    cell_valid = cell_scores > -jnp.inf
+
+    # ---- level 2: per-tile selection within the cell list ----
+    # Rects packed into one int32 (8 bits per coord; tile grids are < 256
+    # on each axis at any practical resolution) -> a single flat gather per
+    # candidate instead of four.
+    rect_packed = (rect_min[:, 0].astype(jnp.int32)
+                   | (rect_min[:, 1].astype(jnp.int32) << 8)
+                   | (rect_max[:, 0].astype(jnp.int32) << 16)
+                   | (rect_max[:, 1].astype(jnp.int32) << 24))
     chunk = settings.bin_tile_chunk
     num_chunks = -(-settings.num_tiles // chunk)
     pad_tiles = num_chunks * chunk
-    tx = jnp.pad(tx, (0, pad_tiles - settings.num_tiles))
-    ty = jnp.pad(ty, (0, pad_tiles - settings.num_tiles))
+    tx, ty = tile_coords(pad_tiles)
+    txi = tx.astype(jnp.int32)
+    tyi = ty.astype(jnp.int32)
+    tile_cell = ((tyi // cell) * settings.cells_x + (txi // cell))
+    tile_cell = jnp.clip(tile_cell, 0, n_cells - 1)
+    slot_rank = jnp.arange(kc, dtype=jnp.float32)
 
-    def tile_chunk(ci):
-        cx = jax.lax.dynamic_slice(tx, (ci * chunk,), (chunk,))
-        cy = jax.lax.dynamic_slice(ty, (ci * chunk,), (chunk,))
+    def tile_chunk2(ci):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk)
+        cxi, cyi, cid = sl(txi), sl(tyi), sl(tile_cell)
+        cand = cell_entries[cid]          # [chunk, kc]
+        cand_valid = cell_valid[cid]      # [chunk, kc]
+        rp = rect_packed[cand.reshape(-1)].reshape(chunk, kc)
+        rminx = rp & 0xFF
+        rminy = (rp >> 8) & 0xFF
+        rmaxx = (rp >> 16) & 0xFF
+        rmaxy = (rp >> 24) & 0xFF
         covers = (
-            (rect_min[None, :, 0] <= cx[:, None]) & (cx[:, None] < rect_max[None, :, 0])
-            & (rect_min[None, :, 1] <= cy[:, None]) & (cy[:, None] < rect_max[None, :, 1])
-            & visible[None, :]
-        )  # [chunk, N]
-        score = jnp.where(covers, -rank_of[None, :], -jnp.inf)
-        k_eff = min(k, score.shape[1])
-        top_scores, top_idx = jax.lax.top_k(score, k_eff)  # descending ->
-        # depth order
-        if k_eff < k:
-            top_idx = jnp.pad(top_idx, ((0, 0), (0, k - k_eff)))
-            top_scores = jnp.pad(top_scores, ((0, 0), (0, k - k_eff)),
-                                 constant_values=-jnp.inf)
-        return top_idx.astype(jnp.int32), top_scores > -jnp.inf
+            (rminx <= cxi[:, None]) & (cxi[:, None] < rmaxx)
+            & (rminy <= cyi[:, None]) & (cyi[:, None] < rmaxy)
+            & cand_valid
+        )
+        # cell lists are already depth-ordered -> slot index is the rank
+        score = jnp.where(covers, -slot_rank[None, :], -jnp.inf)
+        top_scores, top_slot = _topk_padded(score, k)
+        ent = jnp.take_along_axis(cand, top_slot, axis=1)
+        return ent, top_scores > -jnp.inf
 
-    idx, valid = jax.lax.map(tile_chunk, jnp.arange(num_chunks))
+    idx, valid = jax.lax.map(tile_chunk2, jnp.arange(num_chunks))
     entries = idx.reshape(pad_tiles, k)[: settings.num_tiles]
     valid = valid.reshape(pad_tiles, k)[: settings.num_tiles]
     return entries, valid
@@ -281,6 +373,7 @@ def composite_tiles(
     tc = settings.composite_tile_chunk
     num_t = settings.num_tiles
     px = ts * ts
+    hp = jax.lax.Precision.HIGHEST
 
     point_image = prep["point_image"]
     conic = prep["conic"]
@@ -292,6 +385,21 @@ def composite_tiles(
         [colors, features, depth[:, None]], axis=1)   # [N, 3+C+1]
     c_all = feat_all.shape[1]
 
+    # One packed per-Gaussian attribute table -> a single flat gather per
+    # chunk (multiple narrow gathers are what killed throughput).
+    packed = jnp.concatenate(
+        [point_image, conic, jnp.log(jnp.maximum(opacity, 1e-30))[:, None],
+         feat_all], axis=1)                            # [N, 6 + c_all]
+    pk_w = packed.shape[1]
+
+    # Shared tile-local quadratic basis: power(xl, yl) is evaluated as a
+    # per-Gaussian 6-vector against [1, xl, yl, xl^2, yl^2, xl*yl] — an MXU
+    # matmul replacing the broadcast-heavy dx/dy elementwise formulation.
+    lx = jnp.tile(jnp.arange(ts, dtype=jnp.float32), ts)            # [px]
+    ly = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)          # [px]
+    basis = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, ly * ly,
+                       lx * ly], axis=0)                            # [6, px]
+
     # Pad tiles to a chunk multiple; padded tiles read list slot entries that
     # are marked invalid, so they composite to background only.
     n_chunks_t = -(-num_t // tc)
@@ -299,10 +407,7 @@ def composite_tiles(
     tiles = jnp.arange(pad_t, dtype=jnp.int32)
     tile_ox = ((tiles % settings.tiles_x) * ts).astype(jnp.float32)
     tile_oy = ((tiles // settings.tiles_x) * ts).astype(jnp.float32)
-    lx = jnp.tile(jnp.arange(ts, dtype=jnp.float32), ts)            # [px]
-    ly = jnp.repeat(jnp.arange(ts, dtype=jnp.float32), ts)          # [px]
-    pix_x = (tile_ox[:, None] + lx[None, :]).reshape(n_chunks_t, tc, px)
-    pix_y = (tile_oy[:, None] + ly[None, :]).reshape(n_chunks_t, tc, px)
+    tile_o = jnp.stack([tile_ox, tile_oy], 1).reshape(n_chunks_t, tc, 2)
 
     num_chunks_g = k // g
     entries_p = jnp.pad(entries, ((0, pad_t - num_t), (0, 0)))
@@ -312,49 +417,63 @@ def composite_tiles(
 
     @jax.checkpoint
     def one_tile_chunk(args):
-        ent, vldall, pxx, pxy = args  # [tc,Cg,g],[tc,Cg,g],[tc,px],[tc,px]
+        ent, vldall, to = args  # [tc,Cg,g],[tc,Cg,g],[tc,2]
 
         def scan_step(carry, ci):
             T_carry, accum = carry   # [tc,px], [tc,c_all+1,px]
             idx = jax.lax.dynamic_index_in_dim(ent, ci, axis=1, keepdims=False)
             vld = jax.lax.dynamic_index_in_dim(vldall, ci, axis=1,
                                                keepdims=False)
-            xy = point_image[idx]        # [tc,g,2]
-            con = conic[idx]             # [tc,g,3]
-            op = opacity[idx]            # [tc,g]
-            ft = feat_all[idx]           # [tc,g,c_all]
+            rows = packed[idx.reshape(-1)].reshape(tc, g, pk_w)
+            # tile-local Gaussian center
+            mx = rows[..., 0] - to[:, None, 0]
+            my = rows[..., 1] - to[:, None, 1]
+            c0, c1, c2 = rows[..., 2], rows[..., 3], rows[..., 4]
+            ln_op = rows[..., 5]
+            ft = rows[..., 6:]                              # [tc,g,c_all]
 
-            dx = xy[..., 0:1] - pxx[:, None, :]   # [tc,g,px]
-            dy = xy[..., 1:2] - pxy[:, None, :]
-            power = (-0.5 * (con[..., 0:1] * dx * dx + con[..., 2:3] * dy * dy)
-                     - con[..., 1:2] * dx * dy)
-            alpha = jnp.minimum(MAX_ALPHA, op[..., None] * jnp.exp(power))
+            # quadratic coefficients of power over local pixel coords
+            coef = jnp.stack([
+                -0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my,  # 1
+                c0 * mx + c1 * my,                                    # x
+                c2 * my + c1 * mx,                                    # y
+                -0.5 * c0,                                            # x^2
+                -0.5 * c2,                                            # y^2
+                -c1,                                                  # xy
+            ], axis=-1)                                     # [tc,g,6]
+            power = jnp.einsum("tgk,kp->tgp", coef, basis,
+                               precision=hp)                # [tc,g,px]
+            alpha = jnp.exp(power + ln_op[..., None])
+            alpha = jnp.minimum(MAX_ALPHA, alpha)
             kill = (power > 0.0) | (~vld[..., None])
             if settings.hard_cutoffs:
                 kill = kill | (alpha < ALPHA_MIN)
             alpha = jnp.where(kill, 0.0, alpha)
 
-            one_m = 1.0 - alpha                                   # [tc,g,px]
+            cum = jnp.cumprod(1.0 - alpha, axis=1)          # raw T after i
+            t_after = T_carry[:, None, :] * cum
             if settings.hard_cutoffs:
-                # Raw transmittance decides the stop test; the carried T only
-                # multiplies *included* alphas — exact CUDA early-out
-                # semantics.
-                cum_raw = jnp.cumprod(one_m, axis=1)              # T after i
-                t_after_raw = T_carry[:, None, :] * cum_raw
-                include = t_after_raw >= T_EPS
-                eff_alpha = jnp.where(include, alpha, 0.0)
+                # CUDA early-out: a Gaussian is composited only while the
+                # post-blend transmittance stays >= T_EPS. Once a slot is
+                # excluded every later slot is too (cum is non-increasing),
+                # so raw-cumprod weights are exact for included slots.
+                include = t_after >= T_EPS
+                t_before = jnp.concatenate(
+                    [T_carry[:, None, :], t_after[:, :-1]], axis=1)
+                weights = jnp.where(include, alpha * t_before, 0.0)
+                # carried T = T after the last *included* slot
+                t_masked = jnp.where(include, t_after, jnp.inf)
+                T_new = jnp.min(t_masked, axis=1)
+                T_new = jnp.where(jnp.isinf(T_new), T_carry, T_new)
             else:
-                eff_alpha = alpha
-            cum_eff = jnp.cumprod(1.0 - eff_alpha, axis=1)
-            t_before = T_carry[:, None, :] * jnp.concatenate(
-                [jnp.ones_like(cum_eff[:, :1]), cum_eff[:, :-1]], axis=1)
-            weights = eff_alpha * t_before                        # [tc,g,px]
+                t_before = jnp.concatenate(
+                    [T_carry[:, None, :], t_after[:, :-1]], axis=1)
+                weights = alpha * t_before
+                T_new = t_after[:, -1, :]
 
-            contrib = jnp.einsum("tgc,tgp->tcp", ft, weights,
-                                 precision=jax.lax.Precision.HIGHEST)
-            alpha_sum = jnp.sum(weights, axis=1)[:, None, :]      # [tc,1,px]
+            contrib = jnp.einsum("tgc,tgp->tcp", ft, weights, precision=hp)
+            alpha_sum = jnp.sum(weights, axis=1)[:, None, :]  # [tc,1,px]
             accum = accum + jnp.concatenate([contrib, alpha_sum], axis=1)
-            T_new = T_carry * cum_eff[:, -1, :]
             return (T_new, accum), None
 
         T0 = jnp.ones((tc, px), jnp.float32)
@@ -366,7 +485,7 @@ def composite_tiles(
         return accum, T_fin
 
     accum, T_final = jax.lax.map(one_tile_chunk,
-                                 (entries_c, valid_c, pix_x, pix_y))
+                                 (entries_c, valid_c, tile_o))
     accum = accum.reshape(pad_t, c_all + 1, px)[:num_t]
     T_final = T_final.reshape(pad_t, px)[:num_t]
 

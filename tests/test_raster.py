@@ -275,3 +275,31 @@ class TestRasterGrad:
         g = jax.jit(jax.grad(loss_fn))(jnp.zeros((20, 2)))
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestTwoLevelBinning:
+    def test_matches_direct_binning(self, rng):
+        """Two-level (cell prefilter) binning must produce identical per-tile
+        lists to the direct per-tile top-k when capacities are generous."""
+        import dataclasses
+        H = W = 96
+        cam = make_camera(H, W)
+        base = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=0, include_feature=False,
+            tile_capacity=64, bin_tile_chunk=8, composite_tile_chunk=8,
+            two_level_binning=False)
+        two = dataclasses.replace(base, two_level_binning=True,
+                                  bin_cell_tiles=2, cell_capacity=256)
+        means, scales, quats, opac, colors, _ = random_scene(rng, n=150)
+        prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+            base, cam, mn, dm, op, sc, qt, None, cl))(
+            jnp.asarray(means), jnp.zeros((150, 2)), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+        prep = jax.tree.map(jnp.asarray, jax.device_get(prep))
+        e1, v1 = jax.jit(lambda p: R.bin_tiles(base, p))(prep)
+        e2, v2 = jax.jit(lambda p: R.bin_tiles(two, p))(prep)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        # compare only valid slots (invalid slot indices are arbitrary)
+        e1n, e2n = np.asarray(e1), np.asarray(e2)
+        v = np.asarray(v1)
+        np.testing.assert_array_equal(e1n[v], e2n[v])
