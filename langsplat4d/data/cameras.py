@@ -109,11 +109,11 @@ class HostCamera:
 
         h, w = self.height, self.width
         level = {0: 0, 1: 1, 2: 2, 3: 3}[feature_level]
-        seg = seg_map[level].astype(np.int64)        # [H,W]
-        mask = (seg != -1)[None]                     # [1,H,W]
-        feat = feature_map[np.clip(seg, 0, None)]    # [H,W,C]
-        feat = np.where(mask[0][..., None], feat, 0.0)
-        point_feature = np.transpose(feat, (2, 0, 1)).astype(np.float32)
+        seg = seg_map[level].astype(np.int32)        # [H,W]
+        # multithreaded C++ gather when the native lib is built
+        from langsplat4d import native
+        point_feature, mask = native.gather_language_features(seg,
+                                                              feature_map)
         assert point_feature.shape[1:] == (h, w), (point_feature.shape, h, w)
         return point_feature, mask
 

@@ -1,7 +1,7 @@
 """HexPlane (K-Planes) spatio-temporal feature field.
 
 TPU-native rebuild of `scene/hexplane.py:109-185`: six learnable planes per
-scale over the coordinate pairs xy,xz,yz,xt,yt,zt
+scale over the coordinate pairs xy,xz,xt,yz,yt,zt
 (`itertools.combinations(range(4), 2)`), bilinear interpolation, per-scale
 product over planes, concat over scales. Time planes initialize to 1.0 for
 static/dynamic separation (scene/hexplane.py:64-65); multiscale resolution
@@ -21,11 +21,10 @@ import jax.numpy as jnp
 
 from langsplat4d.ops.grid_sample import grid_sample_2d
 
-COO_COMBS = tuple(itertools.combinations(range(4), 2))  # xy,xz,yz,xt,yt,zt
-# Regularizer plane-id sets reproduce the reference verbatim, including its
-# off-by-one quirk: `_plane_regulation` iterates ids [0,1,3] (= xy,xz,xt) and
-# `_time_regulation`/`_l1_regulation` iterate [2,4,5] (= yz,yt,zt), although
-# the true time planes are [3,4,5] (scene/gaussian_model.py:763-800).
+COO_COMBS = tuple(itertools.combinations(range(4), 2))  # xy,xz,xt,yz,yt,zt
+# Plane-id sets follow the reference regularizers (gaussian_model.py:763-800):
+# combinations(range(4), 2) orders pairs as xy,xz,xt,yz,yt,zt, so the purely
+# spatial planes are ids [0,1,3] and the spatio-temporal ones [2,4,5].
 TV_PLANE_IDS = (0, 1, 3)
 TIME_PLANE_IDS = (2, 4, 5)
 

@@ -30,13 +30,15 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y0 = jnp.floor(y).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, W - 1)
     y1 = jnp.minimum(y0 + 1, H - 1)
-    wx = x - x0
-    wy = y - y0
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
 
-    flat = plane.reshape(C, H * W)
+    # Row-major [H*W, C] layout: row gathers with flat 1-D indices are the
+    # fast path on TPU (one transpose per plane per call, hoisted by XLA).
+    flat = plane.reshape(C, H * W).T
 
     def gather(yi, xi):
-        return jnp.take(flat, yi * W + xi, axis=1)  # [C, n]
+        return flat[yi * W + xi]  # [n, C]
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)
@@ -45,5 +47,4 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
-    out = top * (1 - wy) + bot * wy   # [C, n]
-    return out.T
+    return top * (1 - wy) + bot * wy   # [n, C]

@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: fused per-tile alpha compositing.
+
+The speed-of-light path for rendering (used by the driver/bench render; the
+training step keeps the jnp formulation whose autodiff backward is
+golden-tested). Replaces the lax.scan composite of
+langsplat4d/render/raster.py with one fused kernel:
+
+- per-Gaussian rows are pre-gathered OUTSIDE the kernel (one flat XLA gather)
+  and passed as [T, PW, K] (K on lanes) — invalid slots carry ln_op = -inf;
+- per chunk of G Gaussians: quadratic-form power via an MXU dot against the
+  tile-local basis, alpha + CUDA cutoffs, transmittance via a 7-step
+  doubling cumprod along sublanes, weighted feature reduction as a second
+  MXU dot — all in VMEM, no HBM intermediates;
+- per-tile early termination: once every pixel's T < 1e-4, remaining chunks
+  of that tile are skipped (@pl.when), mirroring the CUDA early-out at tile
+  granularity.
+
+Row layout (PW = 8 + c_feat): [pix_x, pix_y, conic0, conic1, conic2, ln_op,
+unused, unused, feat_0..c_feat-1] — 8-row header keeps the feature block
+sublane-aligned.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+MAX_ALPHA = 0.99
+HDR = 8  # header rows before the feature block
+
+
+def _cumprod_sublanes(a: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Inclusive cumprod along axis 0 (sublanes) via log-steps of
+    pltpu.roll + masking. a: [g, px]."""
+    out = a
+    shift = 1
+    while shift < g:
+        rolled = pltpu.roll(out, shift, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+        out = out * jnp.where(row >= shift, rolled, 1.0)
+        shift *= 2
+    return out
+
+
+def _composite_kernel(rows_ref, origin_ref, basis_ref, bg_ref, out_ref,
+                      *, tb: int, k: int, g: int, px: int, c_feat: int,
+                      hard_cutoffs: bool):
+    c_out = c_feat + 1
+    basis = basis_ref[:]                 # [8, px] ([1,x,y,x2,y2,xy,0,0])
+    for t in range(tb):
+        ox = origin_ref[t, 0]
+        oy = origin_ref[t, 1]
+        accum = jnp.zeros((c_out, px), jnp.float32)
+        T = jnp.ones((1, px), jnp.float32)
+
+        def chunk_body(ci, carry):
+            T, accum = carry
+            rows = rows_ref[t, :, pl.ds(ci * g, g)]     # [PW, g]
+            mx = rows[0:1, :] - ox                       # [1, g]
+            my = rows[1:2, :] - oy
+            c0 = rows[2:3, :]
+            c1 = rows[3:4, :]
+            c2 = rows[4:5, :]
+            ln_op = rows[5:6, :]
+            ft = rows[HDR:, :]                           # [c_feat, g]
+
+            coef = jnp.concatenate([
+                -0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my,
+                c0 * mx + c1 * my,
+                c2 * my + c1 * mx,
+                -0.5 * c0,
+                -0.5 * c2,
+                -c1,
+                jnp.zeros((2, g), jnp.float32),
+            ], axis=0)                                   # [8, g]
+            # power[g, px] = coef^T @ basis
+            power = jax.lax.dot_general(
+                coef, basis, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [g, px]
+            alpha = jnp.exp(power + ln_op.reshape(g, 1))
+            alpha = jnp.minimum(MAX_ALPHA, alpha)
+            kill = power > 0.0
+            if hard_cutoffs:
+                kill = kill | (alpha < ALPHA_MIN)
+            alpha = jnp.where(kill, 0.0, alpha)
+
+            cum = _cumprod_sublanes(1.0 - alpha, g)      # T after i (local)
+            t_after = T * cum                            # [g, px]
+            t_before = T * jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
+                pltpu.roll(cum, 1, 0), 1.0)
+            if hard_cutoffs:
+                include = t_after >= T_EPS
+                weights = jnp.where(include, alpha * t_before, 0.0)
+                t_masked = jnp.where(include, t_after, jnp.inf)
+                T_new = jnp.min(t_masked, axis=0, keepdims=True)
+                T_new = jnp.where(jnp.isinf(T_new), T, T_new)
+            else:
+                weights = alpha * t_before
+                T_new = t_after[g - 1:g, :]
+
+            contrib = jax.lax.dot_general(
+                ft, weights, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [c_feat, px]
+            alpha_sum = jnp.sum(weights, axis=0, keepdims=True)
+            accum = accum + jnp.concatenate([contrib, alpha_sum], axis=0)
+            return T_new, accum
+
+        num_chunks = k // g
+        if hard_cutoffs:
+            # early termination at tile granularity: stop once every pixel
+            # is saturated (the CUDA per-pixel early-out upper bound)
+            def loop_body(ci, carry):
+                T, accum = carry
+                return jax.lax.cond(
+                    jnp.max(T) >= T_EPS,
+                    lambda c: chunk_body(ci, c),
+                    lambda c: c,
+                    (T, accum))
+            T, accum = jax.lax.fori_loop(0, num_chunks, loop_body, (T, accum))
+        else:
+            T, accum = jax.lax.fori_loop(0, num_chunks, chunk_body,
+                                         (T, accum))
+
+        bg = bg_ref[:]                                   # [8, px] rgb rows
+        out = accum + bg * T
+        out_ref[t, :, :] = out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tile_size", "tb", "g", "hard_cutoffs"))
+def composite_tiles_pallas(
+    rows: jnp.ndarray,      # [T, PW, K] packed per-tile rows (see module doc)
+    bg: jnp.ndarray,        # [3]
+    *,
+    tiles_x: int,
+    tile_size: int = 16,
+    tb: int = 4,
+    g: int = 128,
+    hard_cutoffs: bool = True,
+) -> jnp.ndarray:
+    """-> [T, c_feat + 1, px] composited channels (+ alpha), bg-blended RGB."""
+    t_total, pw, k = rows.shape
+    c_feat = pw - HDR
+    px = tile_size * tile_size
+    assert t_total % tb == 0, (t_total, tb)
+    assert k % g == 0
+
+    lx = jnp.tile(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    ly = jnp.repeat(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    basis = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, ly * ly, lx * ly,
+                       jnp.zeros_like(lx), jnp.zeros_like(lx)], axis=0)
+
+    tiles = jnp.arange(t_total, dtype=jnp.int32)
+    origins = jnp.stack([(tiles % tiles_x) * tile_size,
+                         (tiles // tiles_x) * tile_size],
+                        axis=1).astype(jnp.float32)      # [T, 2]
+
+    c_out = c_feat + 1
+    bg_rows = jnp.zeros((c_out, px), jnp.float32)
+    bg_rows = bg_rows.at[:3, :].set(bg[:, None])
+
+    kernel = functools.partial(
+        _composite_kernel, tb=tb, k=k, g=g, px=px, c_feat=c_feat,
+        hard_cutoffs=hard_cutoffs)
+    grid = (t_total // tb,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, pw, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((HDR, px), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, px), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, c_out, px), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_total, c_out, px), jnp.float32),
+    )(rows, origins, basis, bg_rows)
+
+
+def pack_rows(prep, entries, valid, features) -> Tuple[jnp.ndarray, int]:
+    """Gather + pack per-tile rows for the kernel: [T, PW, K]."""
+    point_image = prep["point_image"]
+    conic = prep["conic"]
+    opacity = prep["opacity"]
+    depth = prep["depth"]
+    colors = prep["colors"]
+    feat_all = jnp.concatenate([colors, features, depth[:, None]], axis=1)
+    c_feat = feat_all.shape[1]
+    ln_op = jnp.log(jnp.maximum(opacity, 1e-30))
+    packed = jnp.concatenate([
+        point_image, conic, ln_op[:, None],
+        jnp.zeros((point_image.shape[0], 2), jnp.float32), feat_all,
+    ], axis=1)                                           # [N, 8 + c_feat]
+    t_total, k = entries.shape
+    rows = packed[entries.reshape(-1)].reshape(t_total, k, HDR + c_feat)
+    # invalidate: ln_op -> -inf for invalid slots
+    neg = jnp.float32(-1e30)
+    lnop_col = jnp.where(valid, rows[:, :, 5], neg)
+    rows = rows.at[:, :, 5].set(lnop_col)
+    return jnp.swapaxes(rows, 1, 2), c_feat              # [T, PW, K]

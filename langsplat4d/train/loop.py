@@ -241,9 +241,18 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                 f"loss {ema_loss:.6f} points {int(state.num_active)}")
 
         timer.pause()
+        if iteration in ex.test_iterations:
+            training_report(cfg, scene, state, dcfg, step_cfg, stage,
+                            iteration, bg)
         if (iteration in ex.save_iterations) and "coarse-base" not in stage:
             logger.info(f"\n[ITER {iteration}] Saving Gaussians")
             save_scene(cfg, state, iteration, stage, cfg.model.model_path)
+        if cfg.model.render_process and (
+                (iteration < 1000 and iteration % 10 == 9)
+                or (iteration < 3000 and iteration % 50 == 49)
+                or (iteration < 60000 and iteration % 100 == 99)):
+            render_process_snapshot(cfg, scene, state, dcfg, step_cfg, stage,
+                                    iteration, bg, timer.get_elapsed_time())
         timer.start()
 
         # ---- densification (base stages only, train.py:388-414) ----
@@ -287,6 +296,58 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
             save_checkpoint(state, iteration, stage, cfg.model.model_path)
 
     return state
+
+
+def training_report(cfg: Config, scene: Scene, state: TrainState,
+                    dcfg: DeformConfig, step_cfg: StepConfig, stage: str,
+                    iteration: int, bg) -> None:
+    """Held-out L1/PSNR at test_iterations (reference training_report,
+    train.py:487-539): sparse camera sweep over test + train splits."""
+    from langsplat4d.train.losses import l1_loss, psnr
+    from langsplat4d.train.step import eval_step
+
+    configs = [("test", scene.getTestCameras()),
+               ("train", scene.getTrainCameras())]
+    for name, cams in configs:
+        if len(cams) == 0:
+            continue
+        idxs = [i % len(cams) for i in range(10, 5000, 299)]
+        l1_total = psnr_total = 0.0
+        for i in idxs:
+            cam = cams[i]
+            out = eval_step(step_cfg, state, cam.camera_params(),
+                            jnp.asarray(cam.time), bg,
+                            state.active_sh_degree)
+            img = jnp.clip(out["render"], 0.0, 1.0)
+            gt = jnp.clip(jnp.asarray(cam.image[:3]), 0.0, 1.0)
+            l1_total += float(l1_loss(img, gt))
+            psnr_total += float(psnr(img, gt))
+        n = len(idxs)
+        logger.info(f"\n[ITER {iteration}] Evaluating {name}: "
+                    f"L1 {l1_total / n} PSNR {psnr_total / n}")
+
+
+def render_process_snapshot(cfg: Config, scene: Scene, state: TrainState,
+                            dcfg: DeformConfig, step_cfg: StepConfig,
+                            stage: str, iteration: int, bg,
+                            elapsed: float) -> None:
+    """Periodic GT|render|depth triptych (train.py:376-382 render_process)."""
+    import numpy as np
+    from langsplat4d.train.step import eval_step
+    from langsplat4d.utils.scene_vis import render_training_image
+
+    for split_name, cams in (("test", scene.getTestCameras()),
+                             ("train", scene.getTrainCameras())):
+        if len(cams) == 0:
+            continue
+        cam = cams[iteration % len(cams)]
+        out = eval_step(step_cfg, state, cam.camera_params(),
+                        jnp.asarray(cam.time), bg, state.active_sh_degree)
+        render_training_image(
+            os.path.join(cfg.model.model_path, "render_process"),
+            stage + split_name, iteration, elapsed,
+            np.asarray(cam.image[:3]), np.asarray(out["render"]),
+            np.asarray(out["depth"]), int(state.num_active))
 
 
 def training(cfg: Config) -> TrainState:

@@ -1,0 +1,58 @@
+"""Pallas fused composite vs the golden jnp compositor (interpret mode on
+CPU; the same kernel compiles for TPU)."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from langsplat4d.ops import tile_composite as TC
+from langsplat4d.render import raster as R
+from tests.test_raster import make_camera, random_scene
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    # run pallas kernels in interpreter mode on CPU
+    from jax.experimental.pallas import tpu as pltpu
+    ctx = pltpu.force_tpu_interpret_mode()
+    ctx.__enter__()
+    yield
+    ctx.__exit__(None, None, None)
+
+
+@pytest.mark.parametrize("hard_cutoffs", [True, False])
+def test_matches_jnp_composite(rng, hard_cutoffs):
+    H = W = 64
+    cam = make_camera(H, W)
+    settings = R.RasterSettings(
+        H, W, sh_degree=0, lang_dim=3, include_feature=True,
+        tile_capacity=128, composite_chunk=32, bin_tile_chunk=8,
+        composite_tile_chunk=8, hard_cutoffs=hard_cutoffs)
+    means, scales, quats, opac, colors, lang = random_scene(rng, n=100)
+    prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+        settings, cam, mn, dm, op, sc, qt, None, cl))(
+        jnp.asarray(means), jnp.zeros((100, 2)), jnp.asarray(opac),
+        jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+    prep = jax.tree.map(jnp.asarray, jax.device_get(prep))
+    entries, valid = jax.jit(lambda p: R.bin_tiles(settings, p))(prep)
+    bg = jnp.asarray([0.3, 0.6, 0.9])
+
+    ref_img, ref_T = jax.jit(
+        lambda p, e, v: R.composite_tiles(settings, p, e, v,
+                                          jnp.asarray(lang), bg))(
+        prep, entries, valid)
+
+    rows, c_feat = TC.pack_rows(prep, entries, valid, jnp.asarray(lang))
+    out = TC.composite_tiles_pallas(
+        rows, bg, tiles_x=settings.tiles_x, tile_size=16, tb=4, g=32,
+        hard_cutoffs=hard_cutoffs)
+    # assemble [T, c_out, px] -> image like composite_tiles does
+    ts = 16
+    c_out = c_feat + 1
+    img = np.asarray(out).reshape(settings.tiles_y, settings.tiles_x,
+                                  c_out, ts, ts)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(c_out, settings.tiles_y * ts,
+                                               settings.tiles_x * ts)
+    np.testing.assert_allclose(img, np.asarray(ref_img), atol=2e-5)

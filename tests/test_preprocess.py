@@ -127,3 +127,29 @@ class TestImagePrompt:
             np.save(mdir / f"{i:06}.npy", m)
         ids = collect_unique_ids(str(mdir), 2)
         assert ids == {0, 1, 2}
+
+
+class TestNative:
+    def test_native_gather_matches_numpy(self, tmp_path):
+        from langsplat4d import native
+        rng = np.random.default_rng(0)
+        seg = rng.integers(-1, 6, size=(40, 50)).astype(np.int32)
+        feats = rng.normal(size=(6, 3)).astype(np.float32)
+        out, mask = native.gather_language_features(seg, feats)
+        ref_mask = (seg != -1)[None]
+        ref = feats[np.clip(seg, 0, None)]
+        ref = np.where(ref_mask[0][..., None], ref, 0.0).transpose(2, 0, 1)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+        np.testing.assert_array_equal(mask, ref_mask)
+        # fp16 path
+        out16, mask16 = native.gather_language_features(
+            seg, feats.astype(np.float16))
+        np.testing.assert_allclose(out16, ref, atol=1e-3)
+
+    def test_image_conversion(self):
+        from langsplat4d import native
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, size=(30, 20, 3)).astype(np.uint8)
+        out = native.image_u8_to_chw_f32(img)
+        ref = np.transpose(img.astype(np.float32) / 255.0, (2, 0, 1))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
