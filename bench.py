@@ -58,7 +58,8 @@ def main():
     settings = RasterSettings(
         image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
         include_feature=True,
-        tile_capacity=int(os.getenv("BENCH_TILE_CAP", 512)))
+        tile_capacity=int(os.getenv("BENCH_TILE_CAP", 512)),
+        pallas_composite=jax.default_backend() == "tpu")
     bg = jnp.zeros(3)
 
     @jax.jit

@@ -28,22 +28,24 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
 
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
     wx = (x - x0)[:, None]
     wy = (y - y0)[:, None]
 
-    # Row-major [H*W, C] layout: row gathers with flat 1-D indices are the
-    # fast path on TPU (one transpose per plane per call, hoisted by XLA).
-    flat = plane.reshape(C, H * W).T
+    # Pack all 4 bilinear corners into one table row so each point needs a
+    # single flat row gather (TPU gathers are row-count-bound). The +1
+    # neighbors clamp at the border, matching padding_mode='border':
+    # row (y0*W + x0) of the packed table holds [v00 | v01 | v10 | v11].
+    xs = jnp.concatenate([plane[:, :, 1:], plane[:, :, -1:]], axis=2)
+    pair_x = jnp.concatenate([plane, xs], axis=0)           # [2C, H, W]
+    ys = jnp.concatenate([pair_x[:, 1:, :], pair_x[:, -1:, :]], axis=1)
+    table = jnp.concatenate([pair_x, ys], axis=0)           # [4C, H, W]
+    table = table.reshape(4 * C, H * W).T                   # [H*W, 4C]
 
-    def gather(yi, xi):
-        return flat[yi * W + xi]  # [n, C]
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x1)
-    v10 = gather(y1, x0)
-    v11 = gather(y1, x1)
+    rows = table[y0 * W + x0]                               # [n, 4C]
+    v00 = rows[:, 0 * C:1 * C]
+    v01 = rows[:, 1 * C:2 * C]
+    v10 = rows[:, 2 * C:3 * C]
+    v11 = rows[:, 3 * C:4 * C]
 
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx

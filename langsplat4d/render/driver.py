@@ -71,14 +71,15 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         os.makedirs(p, exist_ok=True)
 
     first = views[0]
-    include_feature = "base" not in load_stage and mode == "lang"
     settings = RasterSettings(
         image_height=first.height, image_width=first.width,
         sh_degree=state.active_sh_degree,
         lang_dim=dcfg.lang_dim,
         include_feature="base" not in load_stage,
         tile_size=cfg.runtime.tile_size,
-        tile_capacity=cfg.runtime.tile_capacity)
+        tile_capacity=cfg.runtime.tile_capacity,
+        # fused Pallas compositing for forward-only rendering (TPU only)
+        pallas_composite=jax.default_backend() == "tpu")
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     gs = state.gaussians()

@@ -80,6 +80,10 @@ class RasterSettings:
     two_level_binning: bool = True
     bin_cell_tiles: int = 8
     cell_capacity: int = 8192
+    # Fused Pallas compositing (forward-only fast path; training uses the jnp
+    # formulation whose autodiff backward is golden-tested).
+    pallas_composite: bool = False
+    pallas_tile_block: int = 8
 
     @property
     def cells_x(self) -> int:
@@ -304,49 +308,51 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
     cell_scores, cell_entries = _topk_padded(score_c, kc)  # [n_cells, kc]
     cell_valid = cell_scores > -jnp.inf
 
-    # ---- level 2: per-tile selection within the cell list ----
-    # Rects packed into one int32 (8 bits per coord; tile grids are < 256
-    # on each axis at any practical resolution) -> a single flat gather per
-    # candidate instead of four.
+    # ---- level 2: per-tile selection, grouped by cell ----
+    # All tiles of a cell share its candidate rows, so the per-tile stage
+    # needs NO per-tile gathers: one cheap per-cell gather of packed rects
+    # ([n_cells, kc]) + broadcast rect tests + a depth-rank top-k.
     rect_packed = (rect_min[:, 0].astype(jnp.int32)
                    | (rect_min[:, 1].astype(jnp.int32) << 8)
                    | (rect_max[:, 0].astype(jnp.int32) << 16)
                    | (rect_max[:, 1].astype(jnp.int32) << 24))
-    chunk = settings.bin_tile_chunk
-    num_chunks = -(-settings.num_tiles // chunk)
-    pad_tiles = num_chunks * chunk
-    tx, ty = tile_coords(pad_tiles)
-    txi = tx.astype(jnp.int32)
-    tyi = ty.astype(jnp.int32)
-    tile_cell = ((tyi // cell) * settings.cells_x + (txi // cell))
-    tile_cell = jnp.clip(tile_cell, 0, n_cells - 1)
+    cell_rect = rect_packed[cell_entries.reshape(-1)].reshape(n_cells, kc)
     slot_rank = jnp.arange(kc, dtype=jnp.float32)
+    tiles_per_cell = cell * cell
+    lxs = jnp.tile(jnp.arange(cell, dtype=jnp.int32), cell)     # [cell^2]
+    lys = jnp.repeat(jnp.arange(cell, dtype=jnp.int32), cell)
 
-    def tile_chunk2(ci):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ci * chunk, chunk)
-        cxi, cyi, cid = sl(txi), sl(tyi), sl(tile_cell)
-        cand = cell_entries[cid]          # [chunk, kc]
-        cand_valid = cell_valid[cid]      # [chunk, kc]
-        rp = rect_packed[cand.reshape(-1)].reshape(chunk, kc)
-        rminx = rp & 0xFF
-        rminy = (rp >> 8) & 0xFF
-        rmaxx = (rp >> 16) & 0xFF
-        rmaxy = (rp >> 24) & 0xFF
-        covers = (
-            (rminx <= cxi[:, None]) & (cxi[:, None] < rmaxx)
-            & (rminy <= cyi[:, None]) & (cyi[:, None] < rmaxy)
-            & cand_valid
-        )
+    def one_cell(ci):
+        cand = cell_entries[ci]           # [kc]
+        rp = cell_rect[ci]
+        cvalid = cell_valid[ci]
+        cx0 = (ci % settings.cells_x) * cell
+        cy0 = (ci // settings.cells_x) * cell
+        txs = (cx0 + lxs)[:, None]        # [cell^2, 1]
+        tys = (cy0 + lys)[:, None]
+        rminx = (rp & 0xFF)[None, :]
+        rminy = ((rp >> 8) & 0xFF)[None, :]
+        rmaxx = ((rp >> 16) & 0xFF)[None, :]
+        rmaxy = ((rp >> 24) & 0xFF)[None, :]
+        covers = ((rminx <= txs) & (txs < rmaxx)
+                  & (rminy <= tys) & (tys < rmaxy)
+                  & cvalid[None, :])      # [cell^2, kc]
         # cell lists are already depth-ordered -> slot index is the rank
         score = jnp.where(covers, -slot_rank[None, :], -jnp.inf)
         top_scores, top_slot = _topk_padded(score, k)
-        ent = jnp.take_along_axis(cand, top_slot, axis=1)
+        ent = cand[top_slot]
         return ent, top_scores > -jnp.inf
 
-    idx, valid = jax.lax.map(tile_chunk2, jnp.arange(num_chunks))
-    entries = idx.reshape(pad_tiles, k)[: settings.num_tiles]
-    valid = valid.reshape(pad_tiles, k)[: settings.num_tiles]
-    return entries, valid
+    ents, valids = jax.lax.map(one_cell, jnp.arange(n_cells))
+    # [n_cells, cell^2, K] -> padded tile grid -> [T, K]
+    def to_tiles(a):
+        a = a.reshape(settings.cells_y, settings.cells_x, cell, cell, k)
+        a = a.transpose(0, 2, 1, 3, 4).reshape(
+            settings.cells_y * cell, settings.cells_x * cell, k)
+        a = a[: settings.tiles_y, : settings.tiles_x]
+        return a.reshape(settings.num_tiles, k)
+
+    return to_tiles(ents), to_tiles(valids)
 
 
 def composite_tiles(
@@ -498,6 +504,30 @@ def composite_tiles(
     return img, T_final
 
 
+def _composite_pallas(settings: RasterSettings, prep, entries, valid,
+                      features, bg):
+    """Forward-only fused composite (langsplat4d/ops/tile_composite.py),
+    assembled into the [C, H, W] image like composite_tiles."""
+    from langsplat4d.ops.tile_composite import (composite_tiles_pallas,
+                                                pack_rows)
+    ts = settings.tile_size
+    tb = settings.pallas_tile_block
+    rows, c_feat = pack_rows(prep, entries, valid, features)
+    pad = (-settings.num_tiles) % tb
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0)))
+    out = composite_tiles_pallas(
+        rows, bg, tiles_x=settings.tiles_x, tile_size=ts, tb=tb,
+        g=min(settings.composite_chunk, settings.tile_capacity),
+        hard_cutoffs=settings.hard_cutoffs)
+    c_out = c_feat + 1
+    out = out[: settings.num_tiles]
+    img = out.reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        c_out, settings.tiles_y * ts, settings.tiles_x * ts)
+    return img[:, : settings.image_height, : settings.image_width]
+
+
 def rasterize(
     settings: RasterSettings,
     cam: CameraParams,
@@ -522,7 +552,10 @@ def rasterize(
     entries, valid = bin_tiles(settings, prep)
     feats = language_features if settings.include_feature else (
         jnp.zeros((means3d.shape[0], 0), means3d.dtype))
-    img, _ = composite_tiles(settings, prep, entries, valid, feats, bg)
+    if settings.pallas_composite:
+        img = _composite_pallas(settings, prep, entries, valid, feats, bg)
+    else:
+        img, _ = composite_tiles(settings, prep, entries, valid, feats, bg)
     c_lang = feats.shape[1]
     rendered = img[:3]
     lang_img = img[3:3 + c_lang]
