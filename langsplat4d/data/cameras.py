@@ -134,3 +134,37 @@ class MiniCam:
     @property
     def camera_center(self) -> np.ndarray:
         return np.linalg.inv(self.world_view_transform)[3, :3]
+
+
+def rotate_camera_around_center(camera: HostCamera, angle_degrees: float,
+                                center: np.ndarray,
+                                axs: str = "x") -> HostCamera:
+    """Orbit a camera around the scene center (novel-view helper; reference
+    scene/cameras.py:135-228). Rotates the camera position about `center` on
+    the chosen world axis and re-aims the orientation by the same rotation."""
+    import copy
+    theta = np.deg2rad(angle_degrees)
+    c, s = np.cos(theta), np.sin(theta)
+    if axs == "x":
+        rot = np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+    elif axs == "y":
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    else:
+        rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    w2c = np.eye(4)
+    w2c[:3, :3] = camera.R.T
+    w2c[:3, 3] = camera.T
+    c2w = np.linalg.inv(w2c)
+    cam_pos = c2w[:3, 3]
+    new_pos = rot @ (cam_pos - center) + center
+    new_rot = rot @ c2w[:3, :3]
+    new_c2w = np.eye(4)
+    new_c2w[:3, :3] = new_rot
+    new_c2w[:3, 3] = new_pos
+    new_w2c = np.linalg.inv(new_c2w)
+
+    out = copy.copy(camera)
+    out.R = new_w2c[:3, :3].T
+    out.T = new_w2c[:3, 3]
+    return out

@@ -51,6 +51,9 @@ class CameraDataset:
 
     def __getitem__(self, index: int) -> HostCamera:
         item = self.dataset[index]
+        from langsplat4d.data.panoptic import PanopticCamera
+        if isinstance(item, PanopticCamera):
+            return item
         if isinstance(item, HostCamera):
             # Custom loaders (Hyper/Neu3D) already produce HostCameras; stamp
             # the dataset index as colmap_id (FourDGSdataset does the same,
@@ -96,6 +99,9 @@ class Scene:
             info = SCENE_LOAD_CALLBACKS["nerfies"](source_path)
         elif dataset_type == "MultipleView":
             info = SCENE_LOAD_CALLBACKS["MultipleView"](source_path)
+        elif dataset_type == "PanopticSports":
+            from langsplat4d.data.panoptic import read_panoptic_scene
+            info = read_panoptic_scene(source_path)
         else:
             raise NotImplementedError(
                 f"dataset type {dataset_type} not supported yet")
