@@ -254,3 +254,41 @@ class TestTrainStepSmoke:
                                lang_before)
         np.testing.assert_array_equal(np.asarray(state.params["xyz"]),
                                       xyz_before)
+
+
+class TestCheckpointRoundtrip:
+    def test_full_state_checkpoint(self, rng, tmp_path):
+        from langsplat4d.train.loop import load_checkpoint, save_checkpoint
+        state, _ = tiny_state(rng, n=30, cap=64)
+        save_checkpoint(state, 7, "fine-lang", str(tmp_path))
+        back, payload = load_checkpoint(
+            str(tmp_path / "chkpnt_fine-lang_7.pth"))
+        assert payload["iteration"] == 7
+        assert int(back.num_active) == 30
+        np.testing.assert_array_equal(np.asarray(back.params["xyz"]),
+                                      np.asarray(state.params["xyz"]))
+        np.testing.assert_array_equal(
+            np.asarray(back.opt.m["opacity"]),
+            np.asarray(state.opt.m["opacity"]))
+
+
+class TestDiscreteStagePrep:
+    def test_expand_language_features(self, rng):
+        from langsplat4d.config import Config
+        from langsplat4d.train.loop import prepare_discrete_stage
+        state, dcfg = tiny_state(rng, n=20, cap=32)
+        lf = rng.normal(size=(32, 3)).astype(np.float32)
+        state = state.replace(params=dict(state.params,
+                                          language_feature=jnp.asarray(lf)))
+        cfg = Config()
+        cfg.runtime.language_feature_hiddendim = 3
+        cfg.runtime.centers_num = 3
+        out = prepare_discrete_stage(cfg, state, dcfg,
+                                     init_from_stage="fine-base")
+        assert out.params["language_feature"].shape == (32, 9)
+        # reference layout: [n, centers, dim] -> permute(0,2,1) -> flatten
+        flat = np.asarray(out.params["language_feature"])[0]
+        as_centers = flat.reshape(3, 3).T  # undo permute -> [centers, dim]
+        lf0 = lf[0] / (np.linalg.norm(lf[0]) + 1e-9)
+        # noisy copies around the normalized static feature (std 0.05)
+        assert np.linalg.norm(as_centers - lf0[None], axis=-1).max() < 0.5

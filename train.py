@@ -28,6 +28,10 @@ def main(argv=None):
     logger.info(f"Optimizing {cfg.model.model_path}")
 
     safe_state(seed=cfg.extras.seed)
+    if cfg.extras.detect_anomaly:
+        # torch.autograd.set_detect_anomaly equivalent (train.py:615)
+        from langsplat4d.utils.profiling import enable_nan_debug
+        enable_nan_debug(True)
     # default save marks (train.py:617-618)
     for it in (10000, 20000):
         if it not in cfg.extras.save_iterations:
