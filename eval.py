@@ -22,7 +22,18 @@ from pathlib import Path
 import numpy as np
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even when a platform plugin (axon TPU) ignores it;
+    lets CPU-only users run the CLIs without the TPU tunnel."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+        jax.config.update("jax_platforms", plats)
+
+
 def main(argv=None):
+    _apply_platform_env()
     import jax.numpy as jnp
     from langsplat4d.ae import model as AE
     from langsplat4d.eval import evaluate as E

@@ -294,11 +294,15 @@ def add_config_args(parser: argparse.ArgumentParser, cfg: Config) -> None:
                 parser.add_argument(f"--{f.name}", type=typ, default=None)
 
 
-def parse_cli(argv=None, description: str = "") -> Config:
+def parse_cli(argv=None, description: str = "",
+              strict: bool = False) -> Config:
     cfg = Config()
     parser = argparse.ArgumentParser(description=description)
     add_config_args(parser, cfg)
-    args, _ = parser.parse_known_args(argv)
+    if strict:
+        args = parser.parse_args(argv)
+    else:
+        args, _ = parser.parse_known_args(argv)
     ns = {k: v for k, v in vars(args).items() if v is not None}
     if ns.get("configs"):
         apply_overrides(cfg, load_py_config(ns["configs"]))

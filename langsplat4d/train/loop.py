@@ -161,6 +161,9 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
     split_key = jax.random.PRNGKey(rng_seed + 7)
     logger.info(f"stage:{stage} begin... train_iter:{train_iter}, "
                 f"joint_train:{joint_train}")
+    from langsplat4d.utils.telemetry import Telemetry
+    telemetry = Telemetry(cfg.model.model_path or None,
+                          wandb_name=cfg.extras.expname)
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
@@ -239,6 +242,11 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
             logger.info(
                 f"[{stage}] iter {iteration}/{train_iter} "
                 f"loss {ema_loss:.6f} points {int(state.num_active)}")
+        if iteration % 10 == 0:
+            telemetry.scalars(
+                {f"{stage}/train_loss_patches/l1_loss": loss,
+                 f"{stage}/train_loss_patchestotal_loss": loss,
+                 f"{stage}/total_points": int(state.num_active)}, iteration)
 
         timer.pause()
         if iteration in ex.test_iterations:
@@ -295,6 +303,7 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         if (iteration in ex.checkpoint_iterations) and "fine" in stage:
             save_checkpoint(state, iteration, stage, cfg.model.model_path)
 
+    telemetry.close()
     return state
 
 

@@ -9,7 +9,18 @@ import argparse
 import sys
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even when a platform plugin (axon TPU) ignores it;
+    lets CPU-only users run the CLIs without the TPU tunnel."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+        jax.config.update("jax_platforms", plats)
+
+
 def main(argv=None):
+    _apply_platform_env()
     from langsplat4d.config import load_cfg_args, parse_cli
     from langsplat4d.utils.logging import get_logger
 

@@ -11,11 +11,23 @@ import sys
 import time
 
 
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even when a platform plugin (axon TPU) ignores it;
+    lets CPU-only users run the CLIs without the TPU tunnel."""
+    import os
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        import jax
+        jax.config.update("jax_platforms", plats)
+
+
 def main(argv=None):
+    _apply_platform_env()
     from langsplat4d.config import parse_cli
     from langsplat4d.utils.logging import add_file_sink, get_logger, safe_state
 
-    cfg = parse_cli(argv, description="Training script parameters")
+    cfg = parse_cli(argv, description="Training script parameters",
+                    strict=True)
     logger = get_logger()
 
     if not cfg.model.model_path:
