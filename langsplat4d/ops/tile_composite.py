@@ -211,3 +211,187 @@ def pack_rows(prep, entries, valid, features) -> Tuple[jnp.ndarray, int]:
     lnop_col = jnp.where(valid, rows[:, :, 5], neg)
     rows = rows.at[:, :, 5].set(lnop_col)
     return jnp.swapaxes(rows, 1, 2), c_feat              # [T, PW, K]
+
+
+# ---------------------------------------------------------------------------
+# Cell-list compositing: each tile walks its cell's depth-ordered candidate
+# list with the tile-rect test fused into the kernel. Removes the per-tile
+# binning stage entirely (SURVEY §7 hard-part #1 without any compaction) and
+# is *more* faithful than capacity-K lists: no truncation — the walk ends at
+# the CUDA early-out (every pixel's T < 1e-4) or list exhaustion.
+# Row layout (PW = 8 + c_feat): [pix_x, pix_y, c0, c1, c2, ln_op,
+# rect_min_packed, rect_max_packed | feats]; rect coords packed as
+# x + 256*y in a float (exact below 2^23).
+# ---------------------------------------------------------------------------
+
+def _cell_kernel(rows_ref, bg_ref, out_ref, *, cell: int, kc: int, g: int,
+                 px: int, c_feat: int, tile_size: int, cells_x: int,
+                 hard_cutoffs: bool):
+    c_out = c_feat + 1
+    ci = pl.program_id(0)
+    cell_px = cell * tile_size
+    cell_ox = (ci % cells_x) * cell_px
+    cell_oy = (ci // cells_x) * cell_px
+
+    # tile-local quadratic basis (shared by all tiles)
+    lx = jax.lax.broadcasted_iota(jnp.float32, (1, px), 1) % tile_size
+    ly = (jax.lax.broadcasted_iota(jnp.float32, (1, px), 1) // tile_size)
+    ones = jnp.ones((1, px), jnp.float32)
+    zeros = jnp.zeros((2, px), jnp.float32)
+    basis = jnp.concatenate([ones, lx, ly, lx * lx, ly * ly, lx * ly, zeros],
+                            axis=0)                      # [8, px]
+
+    num_chunks = kc // g
+
+    def tile_body(t, _):
+        ltx = t % cell
+        lty = t // cell
+        ox = (cell_ox + ltx * tile_size).astype(jnp.float32)
+        oy = (cell_oy + lty * tile_size).astype(jnp.float32)
+        txf = (cell_ox // tile_size + ltx).astype(jnp.float32)
+        tyf = (cell_oy // tile_size + lty).astype(jnp.float32)
+
+        def chunk_body(cidx, carry):
+            T, accum = carry
+            rows = rows_ref[0, :, pl.ds(cidx * g, g)]    # [PW, g]
+            mx = rows[0:1, :] - ox
+            my = rows[1:2, :] - oy
+            c0 = rows[2:3, :]
+            c1 = rows[3:4, :]
+            c2 = rows[4:5, :]
+            ln_op = rows[5:6, :]
+            rect_a = rows[6:7, :]
+            rect_b = rows[7:8, :]
+            ft = rows[HDR:, :]
+
+            # tile-rect cull (CUDA getRect semantics)
+            rminx = rect_a % 256.0
+            rminy = (rect_a - rminx) / 256.0
+            rmaxx = rect_b % 256.0
+            rmaxy = (rect_b - rmaxx) / 256.0
+            covered = ((rminx <= txf) & (txf < rmaxx)
+                       & (rminy <= tyf) & (tyf < rmaxy))  # [1, g]
+
+            coef = jnp.concatenate([
+                -0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my,
+                c0 * mx + c1 * my,
+                c2 * my + c1 * mx,
+                -0.5 * c0,
+                -0.5 * c2,
+                -c1,
+                jnp.zeros((2, g), jnp.float32),
+            ], axis=0)
+            power = jax.lax.dot_general(
+                coef, basis, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [g, px]
+            alpha = jnp.minimum(MAX_ALPHA, jnp.exp(power + ln_op.reshape(g, 1)))
+            kill = (power > 0.0) | (~covered.reshape(g, 1))
+            if hard_cutoffs:
+                kill = kill | (alpha < ALPHA_MIN)
+            alpha = jnp.where(kill, 0.0, alpha)
+
+            cum = _cumprod_sublanes(1.0 - alpha, g)
+            t_after = T * cum
+            t_before = T * jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
+                pltpu.roll(cum, 1, 0), 1.0)
+            if hard_cutoffs:
+                include = t_after >= T_EPS
+                weights = jnp.where(include, alpha * t_before, 0.0)
+                t_masked = jnp.where(include, t_after, jnp.inf)
+                T_new = jnp.min(t_masked, axis=0, keepdims=True)
+                T_new = jnp.where(jnp.isinf(T_new), T, T_new)
+            else:
+                weights = alpha * t_before
+                T_new = t_after[g - 1:g, :]
+
+            contrib = jax.lax.dot_general(
+                ft, weights, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            alpha_sum = jnp.sum(weights, axis=0, keepdims=True)
+            accum = accum + jnp.concatenate([contrib, alpha_sum], axis=0)
+            return T_new, accum
+
+        T0 = jnp.ones((1, px), jnp.float32)
+        acc0 = jnp.zeros((c_out, px), jnp.float32)
+        if hard_cutoffs:
+            def loop_body(cidx, carry):
+                T, accum = carry
+                return jax.lax.cond(jnp.max(T) >= T_EPS,
+                                    lambda c: chunk_body(cidx, c),
+                                    lambda c: c, (T, accum))
+            T, accum = jax.lax.fori_loop(0, num_chunks, loop_body, (T0, acc0))
+        else:
+            T, accum = jax.lax.fori_loop(0, num_chunks, chunk_body,
+                                         (T0, acc0))
+        out_ref[0, t, :, :] = accum + bg_ref[:] * T
+        return 0
+
+    jax.lax.fori_loop(0, cell * cell, tile_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cells_x", "cell", "tile_size", "g", "hard_cutoffs"))
+def composite_cells_pallas(
+    cell_rows: jnp.ndarray,   # [n_cells, PW, kc]
+    bg: jnp.ndarray,          # [3]
+    *,
+    cells_x: int,
+    cell: int = 8,            # tiles per cell edge
+    tile_size: int = 16,
+    g: int = 128,
+    hard_cutoffs: bool = True,
+) -> jnp.ndarray:
+    """-> [n_cells, cell*cell, c_out, px]."""
+    n_cells, pw, kc = cell_rows.shape
+    c_feat = pw - HDR
+    px = tile_size * tile_size
+    c_out = c_feat + 1
+    bg_rows = jnp.zeros((c_out, px), jnp.float32)
+    bg_rows = bg_rows.at[:3, :].set(bg[:, None])
+
+    kernel = functools.partial(
+        _cell_kernel, cell=cell, kc=kc, g=g, px=px, c_feat=c_feat,
+        tile_size=tile_size, cells_x=cells_x, hard_cutoffs=hard_cutoffs)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=[
+            pl.BlockSpec((1, pw, kc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_out, px), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cell * cell, c_out, px),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_cells, cell * cell, c_out, px),
+                                       jnp.float32),
+    )(cell_rows, bg_rows)
+
+
+def pack_cell_rows(prep, cell_entries, cell_valid, features):
+    """Gather + pack per-cell candidate rows: [n_cells, PW, kc]."""
+    point_image = prep["point_image"]
+    conic = prep["conic"]
+    opacity = prep["opacity"]
+    depth = prep["depth"]
+    colors = prep["colors"]
+    rect_min = prep["rect_min"]
+    rect_max = prep["rect_max"]
+    feat_all = jnp.concatenate([colors, features, depth[:, None]], axis=1)
+    c_feat = feat_all.shape[1]
+    ln_op = jnp.log(jnp.maximum(opacity, 1e-30))
+    rect_a = rect_min[:, 0] + 256.0 * rect_min[:, 1]
+    rect_b = rect_max[:, 0] + 256.0 * rect_max[:, 1]
+    packed = jnp.concatenate([
+        point_image, conic, ln_op[:, None], rect_a[:, None], rect_b[:, None],
+        feat_all,
+    ], axis=1)                                           # [N, 8 + c_feat]
+    n_cells, kc = cell_entries.shape
+    rows = packed[cell_entries.reshape(-1)].reshape(n_cells, kc, HDR + c_feat)
+    neg = jnp.float32(-1e30)
+    lnop_col = jnp.where(cell_valid, rows[:, :, 5], neg)
+    rows = rows.at[:, :, 5].set(lnop_col)
+    return jnp.swapaxes(rows, 1, 2), c_feat              # [n_cells, PW, kc]

@@ -84,6 +84,11 @@ class RasterSettings:
     # formulation whose autodiff backward is golden-tested).
     pallas_composite: bool = False
     pallas_tile_block: int = 8
+    # Cell-list compositing: skip the per-tile binning stage entirely; each
+    # tile walks its cell's depth-ordered candidates inside the Pallas kernel
+    # with the rect cull fused (no capacity-K truncation). Implies
+    # pallas_composite.
+    pallas_cell_composite: bool = False
 
     @property
     def cells_x(self) -> int:
@@ -234,6 +239,38 @@ def _topk_padded(score: jnp.ndarray, k: int):
     return top_scores, top_idx.astype(jnp.int32)
 
 
+def bin_cells(settings: RasterSettings, prep: Dict[str, jnp.ndarray],
+              rank_of: Optional[jnp.ndarray] = None):
+    """Coarse binning: depth-ordered candidate lists per cell of
+    bin_cell_tiles^2 tiles. Returns (cell_entries [n_cells, kc] int32,
+    cell_valid [n_cells, kc] bool)."""
+    prep = jax.lax.stop_gradient(prep)
+    if rank_of is None:
+        depth_sorted = jnp.where(prep["visible"], prep["depth"], jnp.inf)
+        order = jnp.argsort(depth_sorted)
+        rank_of = jnp.argsort(order).astype(jnp.float32)
+    rect_min, rect_max = prep["rect_min"], prep["rect_max"]
+    visible = prep["visible"]
+    cell = settings.bin_cell_tiles
+    kc = settings.cell_capacity
+    n_cells = settings.cells_x * settings.cells_y
+    cells = jnp.arange(n_cells, dtype=jnp.int32)
+    cell_tx0 = ((cells % settings.cells_x) * cell).astype(jnp.float32)
+    cell_ty0 = ((cells // settings.cells_x) * cell).astype(jnp.float32)
+    # cell covers [tx0, tx0+cell) tiles; a gaussian's tile-rect intersects it
+    # iff rect_min < tx0+cell and rect_max > tx0.
+    covers_c = (
+        (rect_min[None, :, 0] < cell_tx0[:, None] + cell)
+        & (rect_max[None, :, 0] > cell_tx0[:, None])
+        & (rect_min[None, :, 1] < cell_ty0[:, None] + cell)
+        & (rect_max[None, :, 1] > cell_ty0[:, None])
+        & visible[None, :]
+    )  # [n_cells, N]
+    score_c = jnp.where(covers_c, -rank_of[None, :], -jnp.inf)
+    cell_scores, cell_entries = _topk_padded(score_c, kc)  # [n_cells, kc]
+    return cell_entries, cell_scores > -jnp.inf
+
+
 def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
     """Per-tile front-to-back Gaussian lists via depth-rank top-k.
 
@@ -289,24 +326,10 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
         return entries, valid
 
     # ---- level 1: coarse cells ----
+    cell_entries, cell_valid = bin_cells(settings, prep, rank_of)
     cell = settings.bin_cell_tiles
     kc = settings.cell_capacity
     n_cells = settings.cells_x * settings.cells_y
-    cells = jnp.arange(n_cells, dtype=jnp.int32)
-    cell_tx0 = ((cells % settings.cells_x) * cell).astype(jnp.float32)
-    cell_ty0 = ((cells // settings.cells_x) * cell).astype(jnp.float32)
-    # cell covers [tx0, tx0+cell) tiles; a gaussian's tile-rect intersects it
-    # iff rect_min < tx0+cell and rect_max > tx0.
-    covers_c = (
-        (rect_min[None, :, 0] < cell_tx0[:, None] + cell)
-        & (rect_max[None, :, 0] > cell_tx0[:, None])
-        & (rect_min[None, :, 1] < cell_ty0[:, None] + cell)
-        & (rect_max[None, :, 1] > cell_ty0[:, None])
-        & visible[None, :]
-    )  # [n_cells, N]
-    score_c = jnp.where(covers_c, -rank_of[None, :], -jnp.inf)
-    cell_scores, cell_entries = _topk_padded(score_c, kc)  # [n_cells, kc]
-    cell_valid = cell_scores > -jnp.inf
 
     # ---- level 2: per-tile selection, grouped by cell ----
     # All tiles of a cell share its candidate rows, so the per-tile stage
@@ -528,6 +551,28 @@ def _composite_pallas(settings: RasterSettings, prep, entries, valid,
     return img[:, : settings.image_height, : settings.image_width]
 
 
+def _composite_cells(settings: RasterSettings, prep, features, bg):
+    """Cell-list Pallas compositing: coarse binning only, then each tile walks
+    its cell's candidate rows inside the kernel (rect cull fused)."""
+    from langsplat4d.ops.tile_composite import (composite_cells_pallas,
+                                                pack_cell_rows)
+    ts = settings.tile_size
+    cell = settings.bin_cell_tiles
+    cell_entries, cell_valid = bin_cells(settings, prep)
+    rows, c_feat = pack_cell_rows(prep, cell_entries, cell_valid, features)
+    out = composite_cells_pallas(
+        rows, bg, cells_x=settings.cells_x, cell=cell, tile_size=ts,
+        g=min(settings.composite_chunk, settings.cell_capacity),
+        hard_cutoffs=settings.hard_cutoffs)
+    # [n_cells, cell^2, c_out, px] -> [C, H, W]
+    c_out = c_feat + 1
+    img = out.reshape(settings.cells_y, settings.cells_x, cell, cell, c_out,
+                      ts, ts)
+    img = img.transpose(4, 0, 2, 5, 1, 3, 6).reshape(
+        c_out, settings.cells_y * cell * ts, settings.cells_x * cell * ts)
+    return img[:, : settings.image_height, : settings.image_width]
+
+
 def rasterize(
     settings: RasterSettings,
     cam: CameraParams,
@@ -549,13 +594,17 @@ def rasterize(
     """
     prep = preprocess(settings, cam, means3d, means2d_dummy, opacities, scales,
                       rotations, shs, colors_precomp, cov3d_precomp, active)
-    entries, valid = bin_tiles(settings, prep)
     feats = language_features if settings.include_feature else (
         jnp.zeros((means3d.shape[0], 0), means3d.dtype))
-    if settings.pallas_composite:
-        img = _composite_pallas(settings, prep, entries, valid, feats, bg)
+    if settings.pallas_cell_composite:
+        img = _composite_cells(settings, prep, feats, bg)
     else:
-        img, _ = composite_tiles(settings, prep, entries, valid, feats, bg)
+        entries, valid = bin_tiles(settings, prep)
+        if settings.pallas_composite:
+            img = _composite_pallas(settings, prep, entries, valid, feats, bg)
+        else:
+            img, _ = composite_tiles(settings, prep, entries, valid, feats,
+                                     bg)
     c_lang = feats.shape[1]
     rendered = img[:3]
     lang_img = img[3:3 + c_lang]

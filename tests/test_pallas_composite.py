@@ -56,3 +56,31 @@ def test_matches_jnp_composite(rng, hard_cutoffs):
     img = img.transpose(2, 0, 3, 1, 4).reshape(c_out, settings.tiles_y * ts,
                                                settings.tiles_x * ts)
     np.testing.assert_allclose(img, np.asarray(ref_img), atol=2e-5)
+
+
+@pytest.mark.parametrize("hard_cutoffs", [True, False])
+def test_cell_composite_matches_jnp(rng, hard_cutoffs):
+    """Cell-list kernel == per-tile path when K is large enough that
+    per-tile truncation never happens."""
+    H = W = 64
+    cam = make_camera(H, W)
+    settings = R.RasterSettings(
+        H, W, sh_degree=0, lang_dim=3, include_feature=True,
+        tile_capacity=128, composite_chunk=32, bin_tile_chunk=8,
+        composite_tile_chunk=8, bin_cell_tiles=2, cell_capacity=128,
+        hard_cutoffs=hard_cutoffs)
+    means, scales, quats, opac, colors, lang = random_scene(rng, n=100)
+    args = (jnp.asarray(means), jnp.zeros((100, 2)), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), None,
+            jnp.asarray(colors), jnp.asarray(lang), jnp.asarray([0.2, 0.5, 0.8]))
+
+    ref = jax.jit(lambda *a: R.rasterize(settings, cam, *a))(*args)
+    fast_settings = dataclasses.replace(settings, pallas_cell_composite=True)
+    fast = jax.jit(lambda *a: R.rasterize(fast_settings, cam, *a))(*args)
+    # rendered, lang, radii, depth
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(ref[0]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(fast[1]), np.asarray(ref[1]),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(fast[3]), np.asarray(ref[3]),
+                               atol=3e-4)
