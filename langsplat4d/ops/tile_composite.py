@@ -234,8 +234,9 @@ def _cell_kernel(rows_ref, bg_ref, out_ref, *, cell: int, kc: int, g: int,
     cell_oy = (ci // cells_x) * cell_px
 
     # tile-local quadratic basis (shared by all tiles)
-    lx = jax.lax.broadcasted_iota(jnp.float32, (1, px), 1) % tile_size
-    ly = (jax.lax.broadcasted_iota(jnp.float32, (1, px), 1) // tile_size)
+    pix = jax.lax.broadcasted_iota(jnp.int32, (1, px), 1)
+    lx = (pix % tile_size).astype(jnp.float32)
+    ly = (pix // tile_size).astype(jnp.float32)
     ones = jnp.ones((1, px), jnp.float32)
     zeros = jnp.zeros((2, px), jnp.float32)
     basis = jnp.concatenate([ones, lx, ly, lx * lx, ly * ly, lx * ly, zeros],
@@ -253,7 +254,8 @@ def _cell_kernel(rows_ref, bg_ref, out_ref, *, cell: int, kc: int, g: int,
 
         def chunk_body(cidx, carry):
             T, accum = carry
-            rows = rows_ref[0, :, pl.ds(cidx * g, g)]    # [PW, g]
+            start = pl.multiple_of(cidx * g, 128)
+            rows = rows_ref[0, :, pl.ds(start, g)]       # [PW, g]
             mx = rows[0:1, :] - ox
             my = rows[1:2, :] - oy
             c0 = rows[2:3, :]
@@ -264,13 +266,15 @@ def _cell_kernel(rows_ref, bg_ref, out_ref, *, cell: int, kc: int, g: int,
             rect_b = rows[7:8, :]
             ft = rows[HDR:, :]
 
-            # tile-rect cull (CUDA getRect semantics)
+            # tile-rect cull (CUDA getRect semantics), folded into ln_op as
+            # an f32 -inf bias (bool minor-dim reshapes are unsupported)
             rminx = rect_a % 256.0
             rminy = (rect_a - rminx) / 256.0
             rmaxx = rect_b % 256.0
             rmaxy = (rect_b - rmaxx) / 256.0
             covered = ((rminx <= txf) & (txf < rmaxx)
                        & (rminy <= tyf) & (tyf < rmaxy))  # [1, g]
+            ln_op = jnp.where(covered, ln_op, -1e30)
 
             coef = jnp.concatenate([
                 -0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my,
@@ -285,7 +289,7 @@ def _cell_kernel(rows_ref, bg_ref, out_ref, *, cell: int, kc: int, g: int,
                 coef, basis, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [g, px]
             alpha = jnp.minimum(MAX_ALPHA, jnp.exp(power + ln_op.reshape(g, 1)))
-            kill = (power > 0.0) | (~covered.reshape(g, 1))
+            kill = power > 0.0
             if hard_cutoffs:
                 kill = kill | (alpha < ALPHA_MIN)
             alpha = jnp.where(kill, 0.0, alpha)
@@ -345,6 +349,7 @@ def composite_cells_pallas(
 ) -> jnp.ndarray:
     """-> [n_cells, cell*cell, c_out, px]."""
     n_cells, pw, kc = cell_rows.shape
+    assert g % 128 == 0 and kc % g == 0, (g, kc)
     c_feat = pw - HDR
     px = tile_size * tile_size
     c_out = c_feat + 1

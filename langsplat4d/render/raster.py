@@ -560,10 +560,12 @@ def _composite_cells(settings: RasterSettings, prep, features, bg):
     cell = settings.bin_cell_tiles
     cell_entries, cell_valid = bin_cells(settings, prep)
     rows, c_feat = pack_cell_rows(prep, cell_entries, cell_valid, features)
+    # lane-dim slices must be 128-aligned on TPU
+    g = min(settings.cell_capacity, max(128, settings.composite_chunk))
+    g = (g // 128) * 128
     out = composite_cells_pallas(
         rows, bg, cells_x=settings.cells_x, cell=cell, tile_size=ts,
-        g=min(settings.composite_chunk, settings.cell_capacity),
-        hard_cutoffs=settings.hard_cutoffs)
+        g=g, hard_cutoffs=settings.hard_cutoffs)
     # [n_cells, cell^2, c_out, px] -> [C, H, W]
     c_out = c_feat + 1
     img = out.reshape(settings.cells_y, settings.cells_x, cell, cell, c_out,
