@@ -117,3 +117,44 @@ def test_render_driver_after_training(tiny_cfg, trained):
     assert len(maps) == len(views)
     m = np.load(maps[0])
     assert m.shape[-1] == 3  # lang_dim channels
+
+
+@pytest.mark.slow
+def test_discrete_stage_resume(tiny_cfg, trained):
+    """Phase-B resume: restore the fine-lang checkpoint, expand language
+    features to per-Gaussian discrete centers, and train fine-lang-discrete
+    (reference two-phase schedule, scripts/train_eval.sh:20-33)."""
+    import copy
+    import jax.numpy as jnp
+    from langsplat4d.train.loop import training
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.runtime.use_discrete_lang_f = True
+    cfg.runtime.centers_num = 3
+    cfg.extras.resume_from_final_stage = 1
+    cfg.extras.init_from_stage = "fine-base"
+    cfg.extras.start_checkpoint = os.path.join(
+        cfg.model.model_path, "chkpnt_fine-lang_10.pth")
+    cfg.extras.save_iterations = []
+    cfg.extras.checkpoint_iterations = []
+    cfg.extras.test_iterations = []
+    # fine_lang_iterations + 10000 is the stage budget (train.py:441); keep
+    # the smoke tiny by zeroing the base count and monkeypatching the +10000.
+    cfg.optim.fine_lang_iterations = 5
+
+    import langsplat4d.train.loop as looplib
+    orig = looplib.scene_reconstruction
+
+    def shortened(cfg2, scene, state, dcfg, stage, joint, iters, timer,
+                  **kw):
+        return orig(cfg2, scene, state, dcfg, stage, joint, min(iters, 5),
+                    timer, **kw)
+
+    looplib.scene_reconstruction = shortened
+    try:
+        state = training(cfg)
+    finally:
+        looplib.scene_reconstruction = orig
+    # language features expanded to centers_num * lang_dim columns
+    assert state.params["language_feature"].shape[1] == 9
+    assert np.isfinite(np.asarray(state.params["language_feature"])).all()
