@@ -8,7 +8,7 @@ interchangeable with the CUDA pipeline and eval.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,12 +12,11 @@ import re
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from langsplat4d.core import plyio, state as statelib
 from langsplat4d.field.deformation import DeformConfig, init_deform_params
-from langsplat4d.train.trainstate import TrainState, make_train_state
+from langsplat4d.train.trainstate import make_train_state
 
 
 def search_for_max_iteration(folder: str, stage: str) -> Optional[int]:

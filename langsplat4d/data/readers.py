@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import glob
 import json
-import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional
 
 import numpy as np

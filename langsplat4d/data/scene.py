@@ -11,7 +11,6 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from langsplat4d.core.transforms import focal2fov
 from langsplat4d.data.cameras import HostCamera
 from langsplat4d.data.readers import (
     SCENE_LOAD_CALLBACKS,

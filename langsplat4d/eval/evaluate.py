@@ -8,7 +8,6 @@ eval/eval.py:143-315).
 """
 from __future__ import annotations
 
-import glob
 import json
 import os
 from collections import defaultdict
@@ -18,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from langsplat4d.eval.relevancy import TextEmbedder, relevancy_maps
+from langsplat4d.eval.relevancy import relevancy_maps
 from langsplat4d.utils.logging import get_logger
 
 logger = get_logger()

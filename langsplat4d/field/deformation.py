@@ -9,16 +9,14 @@ specializes the traced graph per configuration instead of branching.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
-from typing import Any, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-from flax import struct
 
 from langsplat4d.field import hexplane as hp
 from langsplat4d.field.nets import (
-    linear_init,
     mlp_apply,
     mlp_init,
     poc_fre,

@@ -11,7 +11,7 @@ mask/segmap logic is dependency-free numpy and unit-tested.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 

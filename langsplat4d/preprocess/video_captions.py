@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Callable, List, Optional
+from typing import List, Optional
 
 VIDEO_PROMPT = ("Please describe the motion of the object highlighted by the "
                 "red outline in the video, focusing on its state changes "

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Callable, Dict, List
+from typing import Callable
 
 import numpy as np
 

@@ -3,7 +3,6 @@ PNG/raw-npy/mp4, print the FPS line (reference render.py:67-161).
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import time as time_mod
 from concurrent.futures import ThreadPoolExecutor

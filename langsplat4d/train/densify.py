@@ -10,7 +10,6 @@ capacity, so densification never retriggers XLA compilation.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,8 +10,7 @@ from __future__ import annotations
 import os
 import random
 import sys
-import time as time_mod
-from typing import Dict, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,7 @@ from langsplat4d.core import plyio, state as statelib
 from langsplat4d.data.cameras import HostCamera
 from langsplat4d.data.scene import BatchLoader, FineSampler, Scene
 from langsplat4d.field.deformation import DeformConfig, init_deform_params
-from langsplat4d.render.raster import CameraParams, RasterSettings
+from langsplat4d.render.raster import RasterSettings
 from langsplat4d.train import densify as D
 from langsplat4d.train.optim import LRConfig
 from langsplat4d.train.step import Batch, StepConfig, train_step

@@ -2,8 +2,6 @@
 utils/image_utils.py) in JAX."""
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

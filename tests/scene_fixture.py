@@ -22,8 +22,6 @@ def make_nerfies_scene(root, n_imgs=8, hw=64, n_points=120, lang_dim=3,
     ids = [f"{i:06d}" for i in range(n_imgs)]
     with open(os.path.join(root, "dataset.json"), "w") as f:
         json.dump({"ids": ids, "val_ids": [], "train_ids": ids}, f)
-    meta = {i: {"camera_id": 0, "warp_id": int(i), "appearance_id": 0}
-            for i, iid in zip(range(n_imgs), ids)}
     meta = {iid: {"camera_id": 0, "warp_id": int(i), "appearance_id": 0}
             for i, iid in enumerate(ids)}
     with open(os.path.join(root, "metadata.json"), "w") as f:
