@@ -77,7 +77,10 @@ def _render_batch(cfg: StepConfig, params, num_active, aabb, batch: Batch,
         rotation=params["rotation"], opacity=params["opacity"],
         language_feature=params["language_feature"], num_active=num_active)
 
-    @jax.checkpoint
+    # No outer remat: composite_tiles already rematerializes its own
+    # intermediates per tile-chunk (the only memory hog); saving the
+    # deform/preprocess/binning activations (~100MB) avoids recomputing them
+    # in the backward (~15% step time).
     def render_one(args):
         cam, time, dummy = args
         out = render(settings, cfg.dcfg, cfg.stage, cam, time, gs,
