@@ -135,33 +135,53 @@ class Scene:
         return self.video_camera
 
 
-def get_stamp_list(dataset: CameraDataset, timestamp_count: int):
-    """Group frame indices by camera position over time
-    (utils/loader_utils.py:40-52 get_stamp_list semantics)."""
-    times = dataset.image_times
-    n = len(times)
-    frames_per_cam = timestamp_count
-    return [list(range(s, n, frames_per_cam)) for s in range(frames_per_cam)]
+def get_stamp_list(dataset: CameraDataset, timestamp: int, num_poses: int):
+    """All camera indices sharing one timestamp
+    (utils/loader_utils.py:12-18: datasets are laid out pose-major with
+    frame_length consecutive frames per pose)."""
+    frame_length = len(dataset) // num_poses
+    if timestamp > frame_length:
+        raise IndexError("input timestamp bigger than total timestamp.")
+    return [i * frame_length + timestamp for i in range(num_poses)]
 
 
 class FineSampler:
-    """Temporal-coherent sampler (utils/loader_utils.py:13-39): walks a random
-    cam, stepping to temporally adjacent frames with high probability."""
+    """Temporal-coherent sampler (utils/loader_utils.py:20-51): for each
+    timestamp, several random permutations over poses at that timestamp,
+    interleaved with replayed samples from the history every 2 items."""
 
-    def __init__(self, dataset: CameraDataset, frames_per_cam: int = 300,
-                 seed: Optional[int] = None):
-        self.n = len(dataset)
-        self.frames_per_cam = min(frames_per_cam, self.n)
+    def __init__(self, dataset: CameraDataset, num_poses: Optional[int] = None,
+                 rounds: int = 4, seed: Optional[int] = None):
         self.rng = random.Random(seed)
+        n = len(dataset)
+        if num_poses is None:
+            # infer pose count from repeated timestamps when available
+            times = dataset.image_times
+            num_poses = max(1, len(times) // max(1, len(set(times))))
+        self.frame_length = max(1, n // num_poses)
+        self.num_poses = num_poses
+        sample_list: List[int] = []
+        for i in range(self.frame_length):
+            now_list: List[int] = []
+            for _ in range(rounds):
+                perm = list(range(self.num_poses))
+                self.rng.shuffle(perm)
+                idx = [p * self.frame_length + i for p in perm]
+                now_list = []
+                cnt = 0
+                for item in idx:
+                    now_list.append(item)
+                    cnt += 1
+                    if cnt % 2 == 0 and len(sample_list) > 2:
+                        now_list += self.rng.sample(sample_list, 2)
+            sample_list += now_list
+        self.sample_list = [min(i, n - 1) for i in sample_list]
 
     def __iter__(self) -> Iterator[int]:
-        order = []
-        num_cams = max(1, self.n // self.frames_per_cam)
-        for _ in range(self.n):
-            cam = self.rng.randrange(num_cams)
-            frame = self.rng.randrange(self.frames_per_cam)
-            order.append(min(cam * self.frames_per_cam + frame, self.n - 1))
-        return iter(order)
+        return iter(self.sample_list)
+
+    def __len__(self) -> int:
+        return len(self.sample_list)
 
 
 class BatchLoader:

@@ -288,6 +288,11 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                 state = D.densify(state, densify_threshold,
                                   scene.cameras_extent, opt.percent_dense,
                                   sub)
+                if int(state.num_active) >= state.capacity:
+                    logger.warning(
+                        f"Gaussian capacity {state.capacity} saturated; "
+                        "further densification drops new points. Raise "
+                        "runtime.capacity_granule / optim.max_points.")
             if (iteration > opt.pruning_from_iter
                     and iteration % opt.pruning_interval == 0
                     and n_active > opt.min_points_for_prune):

@@ -119,12 +119,17 @@ class TestSamplers:
         def __getitem__(self, i):
             return i
 
-    def test_fine_sampler_covers_range(self):
+    def test_fine_sampler_structure(self):
         ds = self._FakeDataset(30)
-        s = FineSampler(ds, frames_per_cam=10, seed=0)
+        s = FineSampler(ds, num_poses=3, seed=0)
         idxs = list(iter(s))
-        assert len(idxs) == 30
+        assert len(idxs) >= 30  # pose permutations + replay injections
         assert min(idxs) >= 0 and max(idxs) < 30
+        # each timestamp block permutes all poses at that timestamp
+        frame_length = 10
+        first_block = idxs[:3]
+        assert sorted(i // frame_length for i in first_block
+                      if i % frame_length == 0) in ([0, 1, 2], [0, 1], [0])
 
     def test_batch_loader_shapes(self):
         ds = self._FakeDataset(10)
