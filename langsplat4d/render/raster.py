@@ -89,6 +89,9 @@ class RasterSettings:
     # with the rect cull fused (no capacity-K truncation). Implies
     # pallas_composite.
     pallas_cell_composite: bool = False
+    # Analytic custom-VJP compositing for training (hand-derived backward,
+    # ~2x faster than autodiff through the scan; gradient-equality tested).
+    analytic_vjp: bool = True
 
     @property
     def cells_x(self) -> int:
@@ -551,6 +554,22 @@ def _composite_pallas(settings: RasterSettings, prep, entries, valid,
     return img[:, : settings.image_height, : settings.image_width]
 
 
+def _composite_analytic(settings, prep, entries, valid, features, bg):
+    """Training composite with the hand-derived backward
+    (langsplat4d/render/composite_vjp.py)."""
+    from langsplat4d.render.composite_vjp import composite_cv
+    ts = settings.tile_size
+    packed = jnp.concatenate(
+        [prep["point_image"], prep["conic"], prep["opacity"][:, None],
+         prep["colors"], features, prep["depth"][:, None]], axis=1)
+    accum = composite_cv(settings, packed, entries, valid, bg)
+    c_out = accum.shape[1]
+    img = accum.reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        c_out, settings.tiles_y * ts, settings.tiles_x * ts)
+    return img[:, : settings.image_height, : settings.image_width]
+
+
 def _composite_cells(settings: RasterSettings, prep, features, bg):
     """Cell-list Pallas compositing: coarse binning only, then each tile walks
     its cell's candidate rows inside the kernel (rect cull fused)."""
@@ -604,6 +623,9 @@ def rasterize(
         entries, valid = bin_tiles(settings, prep)
         if settings.pallas_composite:
             img = _composite_pallas(settings, prep, entries, valid, feats, bg)
+        elif settings.analytic_vjp:
+            img = _composite_analytic(settings, prep, entries, valid, feats,
+                                      bg)
         else:
             img, _ = composite_tiles(settings, prep, entries, valid, feats,
                                      bg)

@@ -303,3 +303,80 @@ class TestTwoLevelBinning:
         e1n, e2n = np.asarray(e1), np.asarray(e2)
         v = np.asarray(v1)
         np.testing.assert_array_equal(e1n[v], e2n[v])
+
+
+class TestAnalyticVJP:
+    """The analytic custom-VJP compositor must match the autodiff path in
+    both the forward and all input gradients."""
+
+    def _setup(self, rng, hard_cutoffs=True):
+        import dataclasses
+        from langsplat4d.render import composite_vjp as CV
+        H = W = 64
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=3, include_feature=True,
+            tile_capacity=128, composite_chunk=32, bin_tile_chunk=8,
+            composite_tile_chunk=8, hard_cutoffs=hard_cutoffs)
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=90)
+        prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+            settings, cam, mn, dm, op, sc, qt, None, cl))(
+            jnp.asarray(means), jnp.zeros((90, 2)), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+        prep = jax.tree.map(jnp.asarray, jax.device_get(prep))
+        entries, valid = jax.jit(lambda p: R.bin_tiles(settings, p))(prep)
+        packed = jnp.concatenate(
+            [prep["point_image"], prep["conic"], prep["opacity"][:, None],
+             prep["colors"], jnp.asarray(lang), prep["depth"][:, None]],
+            axis=1)
+        return settings, prep, entries, valid, packed
+
+    @pytest.mark.parametrize("hard_cutoffs", [True, False])
+    def test_forward_matches_reference_composite(self, rng, hard_cutoffs):
+        from langsplat4d.render import composite_vjp as CV
+        settings, prep, entries, valid, packed = self._setup(rng,
+                                                             hard_cutoffs)
+        bg = jnp.asarray([0.1, 0.5, 0.9])
+        lang = packed[:, 9:12]
+        ref_img, _ = jax.jit(lambda p, e, v: R.composite_tiles(
+            settings, p, e, v, lang, bg))(prep, entries, valid)
+        accum = jax.jit(lambda d, e, v, b: CV.composite_cv(
+            settings, d, e, v, b))(packed, entries, valid, bg)
+        ts = 16
+        c_out = accum.shape[1]
+        img = np.asarray(accum).reshape(settings.tiles_y, settings.tiles_x,
+                                        c_out, ts, ts)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            c_out, settings.tiles_y * ts, settings.tiles_x * ts)
+        np.testing.assert_allclose(img, np.asarray(ref_img), atol=2e-5)
+
+    @pytest.mark.parametrize("hard_cutoffs", [True, False])
+    def test_gradients_match_autodiff(self, rng, hard_cutoffs):
+        from langsplat4d.render import composite_vjp as CV
+        settings, prep, entries, valid, packed = self._setup(rng,
+                                                             hard_cutoffs)
+        bg = jnp.asarray([0.1, 0.5, 0.9])
+        c_all = packed.shape[1] - 6
+        tgt = jnp.asarray(rng.normal(
+            size=(settings.num_tiles, c_all + 1, 256)).astype(np.float32))
+
+        def loss_cv(d, b):
+            acc = CV.composite_cv(settings, d, entries, valid, b)
+            return jnp.sum(acc * tgt)
+
+        def loss_ad(d, b):
+            acc, _, _ = CV.composite_forward(settings, d, entries, valid, b)
+            return jnp.sum(acc * tgt)
+
+        g_cv = jax.jit(jax.grad(loss_cv, argnums=(0, 1)))(packed, bg)
+        g_ad = jax.jit(jax.grad(loss_ad, argnums=(0, 1)))(packed, bg)
+        cols = {"point_image": (0, 2), "conic": (2, 5), "opacity": (5, 6),
+                "feat_all": (6, 6 + c_all)}
+        for key, (lo, hi) in cols.items():
+            a = np.asarray(g_cv[0][:, lo:hi])
+            b = np.asarray(g_ad[0][:, lo:hi])
+            scale = max(np.abs(b).max(), 1e-3)
+            np.testing.assert_allclose(a, b, atol=2e-3 * scale, rtol=1e-3,
+                                       err_msg=key)
+        np.testing.assert_allclose(np.asarray(g_cv[1]), np.asarray(g_ad[1]),
+                                   rtol=1e-4, err_msg="bg")
