@@ -154,6 +154,11 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
 
     if not novideo:
         import imageio
-        imageio.mimwrite(os.path.join(base, f"video_{mode}.mp4"),
-                         render_images, fps=30)
+        try:
+            imageio.mimwrite(os.path.join(base, f"video_{mode}.mp4"),
+                             render_images, fps=30)
+        except (ValueError, ImportError) as e:
+            # No ffmpeg/pyav backend available: frames are already on disk as
+            # PNGs, so degrade to a warning instead of failing the render run.
+            print(f"[render] skipping video_{mode}.mp4 (no mp4 backend: {e})")
     return fps

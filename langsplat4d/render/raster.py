@@ -80,6 +80,12 @@ class RasterSettings:
     two_level_binning: bool = True
     bin_cell_tiles: int = 8
     cell_capacity: int = 8192
+    # Stage-1 capacity of bin_cells' horizontal band lists (a band is one row
+    # of cells, i.e. a bin_cell_tiles*tile_size-pixel-tall image strip). Must
+    # exceed the number of visible Gaussians intersecting any one band, or
+    # the farthest ones are dropped (same truncation semantics as
+    # cell_capacity/tile_capacity).
+    band_capacity: int = 65536
     # Fused Pallas compositing (forward-only fast path; training uses the jnp
     # formulation whose autodiff backward is golden-tested).
     pallas_composite: bool = False
@@ -242,36 +248,78 @@ def _topk_padded(score: jnp.ndarray, k: int):
     return top_scores, top_idx.astype(jnp.int32)
 
 
+def pack_rects(rect_min: jnp.ndarray, rect_max: jnp.ndarray) -> jnp.ndarray:
+    """Pack a tile-space rect into one int32 (8 bits/coordinate; tile grids
+    are < 256 on a side at up to ~4K resolution)."""
+    return (rect_min[:, 0].astype(jnp.int32)
+            | (rect_min[:, 1].astype(jnp.int32) << 8)
+            | (rect_max[:, 0].astype(jnp.int32) << 16)
+            | (rect_max[:, 1].astype(jnp.int32) << 24))
+
+
 def bin_cells(settings: RasterSettings, prep: Dict[str, jnp.ndarray],
-              rank_of: Optional[jnp.ndarray] = None):
+              key: Optional[jnp.ndarray] = None):
     """Coarse binning: depth-ordered candidate lists per cell of
-    bin_cell_tiles^2 tiles. Returns (cell_entries [n_cells, kc] int32,
-    cell_valid [n_cells, kc] bool)."""
+    bin_cell_tiles^2 tiles, built separably (y bands, then x compaction).
+
+    Returns (cell_entries [n_cells, kc] int32, cell_valid [n_cells, kc] bool,
+    cell_rect [n_cells, kc] int32 packed tile-rects of the entries).
+
+    `key` is a front-to-back selection score (higher = nearer): -depth for
+    visible Gaussians, -inf otherwise. top_k returns its result sorted by
+    score, so the lists come out front-to-back directly — no global
+    depth-rank argsort needed.
+
+    Separable two-stage build (the intersection test factors per axis):
+    1. y: one top_k over [cells_y, N] selects each horizontal band's nearest
+       `band_capacity` Gaussians whose tile-rect meets the band.
+    2. x: a stable variadic sort on the x-intersection mask compacts each
+       band list into its cells, carrying ids and packed rects along — so
+       the per-cell rects need no payload gather afterwards.
+    This drops the mask work from O(n_cells * N) to
+    O(cells_y * N + n_cells * band_capacity): ~2.4x faster at Neu3D scale
+    (XLA element gathers and [n_cells, N] broadcasts are the TPU costs here;
+    top_k itself lowers to a fast custom call).
+    """
     prep = jax.lax.stop_gradient(prep)
-    if rank_of is None:
-        depth_sorted = jnp.where(prep["visible"], prep["depth"], jnp.inf)
-        order = jnp.argsort(depth_sorted)
-        rank_of = jnp.argsort(order).astype(jnp.float32)
+    if key is None:
+        key = jnp.where(prep["visible"], -prep["depth"], -jnp.inf)
     rect_min, rect_max = prep["rect_min"], prep["rect_max"]
-    visible = prep["visible"]
     cell = settings.bin_cell_tiles
     kc = settings.cell_capacity
-    n_cells = settings.cells_x * settings.cells_y
-    cells = jnp.arange(n_cells, dtype=jnp.int32)
-    cell_tx0 = ((cells % settings.cells_x) * cell).astype(jnp.float32)
-    cell_ty0 = ((cells // settings.cells_x) * cell).astype(jnp.float32)
-    # cell covers [tx0, tx0+cell) tiles; a gaussian's tile-rect intersects it
-    # iff rect_min < tx0+cell and rect_max > tx0.
-    covers_c = (
-        (rect_min[None, :, 0] < cell_tx0[:, None] + cell)
-        & (rect_max[None, :, 0] > cell_tx0[:, None])
-        & (rect_min[None, :, 1] < cell_ty0[:, None] + cell)
-        & (rect_max[None, :, 1] > cell_ty0[:, None])
-        & visible[None, :]
-    )  # [n_cells, N]
-    score_c = jnp.where(covers_c, -rank_of[None, :], -jnp.inf)
-    cell_scores, cell_entries = _topk_padded(score_c, kc)  # [n_cells, kc]
-    return cell_entries, cell_scores > -jnp.inf
+    kr = settings.band_capacity
+    rect_packed = pack_rects(rect_min, rect_max)
+
+    # --- stage 1: horizontal bands of cells (y-axis test only) ---
+    band_y0 = jnp.arange(settings.cells_y, dtype=rect_min.dtype) * cell
+    in_band = ((rect_min[None, :, 1] < band_y0[:, None] + cell)
+               & (rect_max[None, :, 1] > band_y0[:, None]))      # [Ry, N]
+    band_scores, band_entries = _topk_padded(
+        jnp.where(in_band, key[None, :], -jnp.inf), kr)          # [Ry, kr]
+    band_valid = band_scores > -jnp.inf
+    band_rect = rect_packed[band_entries.reshape(-1)].reshape(
+        settings.cells_y, kr)
+
+    # --- stage 2: compact each band into its cells (x-axis test) ---
+    cx0 = jnp.arange(settings.cells_x, dtype=jnp.int32) * cell
+    rminx = (band_rect & 0xFF)[:, None, :]
+    rmaxx = ((band_rect >> 16) & 0xFF)[:, None, :]
+    covers = ((rminx < cx0[None, :, None] + cell)
+              & (rmaxx > cx0[None, :, None])
+              & band_valid[:, None, :])                          # [Ry, Cx, kr]
+    sk = jnp.where(covers, jnp.int32(0), jnp.int32(1))
+    ids_b = jnp.broadcast_to(band_entries[:, None, :], covers.shape)
+    rect_b = jnp.broadcast_to(band_rect[:, None, :], covers.shape)
+    sks, ents, rects = jax.lax.sort(
+        (sk, ids_b, rect_b), dimension=-1, is_stable=True, num_keys=1)
+    if kc > kr:  # cell capacity exceeds the band list: pad with invalid
+        pad = [(0, 0), (0, 0), (0, kc - kr)]
+        sks = jnp.pad(sks, pad, constant_values=1)
+        ents, rects = jnp.pad(ents, pad), jnp.pad(rects, pad)
+    n_cells = settings.cells_y * settings.cells_x
+    return (ents[..., :kc].reshape(n_cells, kc),
+            (sks[..., :kc] == 0).reshape(n_cells, kc),
+            rects[..., :kc].reshape(n_cells, kc))
 
 
 def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
@@ -291,9 +339,9 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
     prep = jax.lax.stop_gradient(prep)
     n = prep["depth"].shape[0]
     k = settings.tile_capacity
-    depth_sorted = jnp.where(prep["visible"], prep["depth"], jnp.inf)
-    order = jnp.argsort(depth_sorted)                 # [N] front-to-back
-    rank_of = jnp.argsort(order).astype(jnp.float32)  # rank[g] in depth order
+    # Front-to-back selection key: top_k sorts by score, so -depth yields
+    # depth-ordered lists without any global argsort.
+    key = jnp.where(prep["visible"], -prep["depth"], -jnp.inf)
 
     rect_min, rect_max = prep["rect_min"], prep["rect_max"]
     visible = prep["visible"]
@@ -319,7 +367,7 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
                 & (cy[:, None] < rect_max[None, :, 1])
                 & visible[None, :]
             )  # [chunk, N]
-            score = jnp.where(covers, -rank_of[None, :], -jnp.inf)
+            score = jnp.where(covers, key[None, :], -jnp.inf)
             top_scores, top_idx = _topk_padded(score, k)
             return top_idx, top_scores > -jnp.inf
 
@@ -328,23 +376,15 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
         valid = valid.reshape(pad_tiles, k)[: settings.num_tiles]
         return entries, valid
 
-    # ---- level 1: coarse cells ----
-    cell_entries, cell_valid = bin_cells(settings, prep, rank_of)
+    # ---- level 1: coarse cells (ids + packed rects, no extra gather) ----
+    cell_entries, cell_valid, cell_rect = bin_cells(settings, prep, key)
     cell = settings.bin_cell_tiles
     kc = settings.cell_capacity
     n_cells = settings.cells_x * settings.cells_y
 
     # ---- level 2: per-tile selection, grouped by cell ----
     # All tiles of a cell share its candidate rows, so the per-tile stage
-    # needs NO per-tile gathers: one cheap per-cell gather of packed rects
-    # ([n_cells, kc]) + broadcast rect tests + a depth-rank top-k.
-    rect_packed = (rect_min[:, 0].astype(jnp.int32)
-                   | (rect_min[:, 1].astype(jnp.int32) << 8)
-                   | (rect_max[:, 0].astype(jnp.int32) << 16)
-                   | (rect_max[:, 1].astype(jnp.int32) << 24))
-    cell_rect = rect_packed[cell_entries.reshape(-1)].reshape(n_cells, kc)
-    slot_rank = jnp.arange(kc, dtype=jnp.float32)
-    tiles_per_cell = cell * cell
+    # needs NO per-tile gathers: broadcast rect tests + a stable compaction.
     lxs = jnp.tile(jnp.arange(cell, dtype=jnp.int32), cell)     # [cell^2]
     lys = jnp.repeat(jnp.arange(cell, dtype=jnp.int32), cell)
 
@@ -363,11 +403,21 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
         covers = ((rminx <= txs) & (txs < rmaxx)
                   & (rminy <= tys) & (tys < rmaxy)
                   & cvalid[None, :])      # [cell^2, kc]
-        # cell lists are already depth-ordered -> slot index is the rank
-        score = jnp.where(covers, -slot_rank[None, :], -jnp.inf)
-        top_scores, top_slot = _topk_padded(score, k)
-        ent = cand[top_slot]
-        return ent, top_scores > -jnp.inf
+        # Cell lists are already depth-ordered, so per-tile selection is a
+        # stable compaction of the covers mask. A variadic stable sort on
+        # (not-covered, id) compacts covered ids to the front in depth order
+        # AND carries the global ids along — no payload gather afterwards
+        # (XLA element gathers inside the map cost ~20ms/frame; co-sorting
+        # is ~15ms/frame cheaper at Neu3D scale).
+        sk = jnp.where(covers, jnp.int32(0), jnp.int32(1))
+        cand_b = jnp.broadcast_to(cand[None, :], covers.shape)
+        sks, ents_sorted = jax.lax.sort(
+            (sk, cand_b), dimension=-1, is_stable=True, num_keys=1)
+        if k > kc:  # tile capacity exceeds the cell list: pad with invalid
+            pad = [(0, 0), (0, k - kc)]
+            return (jnp.pad(ents_sorted, pad),
+                    jnp.pad(sks == 0, pad, constant_values=False))
+        return ents_sorted[:, :k], sks[:, :k] == 0
 
     ents, valids = jax.lax.map(one_cell, jnp.arange(n_cells))
     # [n_cells, cell^2, K] -> padded tile grid -> [T, K]
@@ -577,7 +627,7 @@ def _composite_cells(settings: RasterSettings, prep, features, bg):
                                                 pack_cell_rows)
     ts = settings.tile_size
     cell = settings.bin_cell_tiles
-    cell_entries, cell_valid = bin_cells(settings, prep)
+    cell_entries, cell_valid, _ = bin_cells(settings, prep)
     rows, c_feat = pack_cell_rows(prep, cell_entries, cell_valid, features)
     # lane-dim slices must be 128-aligned on TPU
     g = min(settings.cell_capacity, max(128, settings.composite_chunk))
