@@ -86,6 +86,10 @@ class RasterSettings:
     # the farthest ones are dropped (same truncation semantics as
     # cell_capacity/tile_capacity).
     band_capacity: int = 65536
+    # Capacity of the per-tile-row (y-compacted) lists inside each cell in
+    # bin_tiles' separable stage; bounds the Gaussians intersecting one
+    # tile_size-pixel-tall strip of a cell.
+    tile_row_capacity: int = 2048
     # Fused Pallas compositing (forward-only fast path; training uses the jnp
     # formulation whose autodiff backward is golden-tested).
     pallas_composite: bool = False
@@ -384,9 +388,17 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
 
     # ---- level 2: per-tile selection, grouped by cell ----
     # All tiles of a cell share its candidate rows, so the per-tile stage
-    # needs NO per-tile gathers: broadcast rect tests + a stable compaction.
-    lxs = jnp.tile(jnp.arange(cell, dtype=jnp.int32), cell)     # [cell^2]
-    lys = jnp.repeat(jnp.arange(cell, dtype=jnp.int32), cell)
+    # needs NO per-tile gathers: broadcast rect tests + stable compactions.
+    # Cell lists are depth-ordered, so selection is a stable compaction of
+    # the covers mask: a variadic stable sort on (not-covered, payload...)
+    # compacts covered entries to the front in depth order AND carries the
+    # payloads along — no element gather afterwards (XLA element gathers
+    # inside the map cost ~20ms/frame at Neu3D scale). Like bin_cells, the
+    # rect test factors per axis: first compact each tile ROW of the cell
+    # (y test, carrying id + rect), then each tile from its row list
+    # (x test, carrying id) — O(cell*(kc + cell*krow)) masked elements
+    # instead of O(cell^2 * kc).
+    krow = min(settings.tile_row_capacity, kc)
 
     def one_cell(ci):
         cand = cell_entries[ci]           # [kc]
@@ -394,30 +406,34 @@ def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
         cvalid = cell_valid[ci]
         cx0 = (ci % settings.cells_x) * cell
         cy0 = (ci // settings.cells_x) * cell
-        txs = (cx0 + lxs)[:, None]        # [cell^2, 1]
-        tys = (cy0 + lys)[:, None]
-        rminx = (rp & 0xFF)[None, :]
+        # stage A: tile rows of the cell (y-axis test)
+        tys = (cy0 + jnp.arange(cell, dtype=jnp.int32))[:, None]  # [cell,1]
         rminy = ((rp >> 8) & 0xFF)[None, :]
-        rmaxx = ((rp >> 16) & 0xFF)[None, :]
         rmaxy = ((rp >> 24) & 0xFF)[None, :]
-        covers = ((rminx <= txs) & (txs < rmaxx)
-                  & (rminy <= tys) & (tys < rmaxy)
-                  & cvalid[None, :])      # [cell^2, kc]
-        # Cell lists are already depth-ordered, so per-tile selection is a
-        # stable compaction of the covers mask. A variadic stable sort on
-        # (not-covered, id) compacts covered ids to the front in depth order
-        # AND carries the global ids along — no payload gather afterwards
-        # (XLA element gathers inside the map cost ~20ms/frame; co-sorting
-        # is ~15ms/frame cheaper at Neu3D scale).
-        sk = jnp.where(covers, jnp.int32(0), jnp.int32(1))
-        cand_b = jnp.broadcast_to(cand[None, :], covers.shape)
-        sks, ents_sorted = jax.lax.sort(
-            (sk, cand_b), dimension=-1, is_stable=True, num_keys=1)
-        if k > kc:  # tile capacity exceeds the cell list: pad with invalid
-            pad = [(0, 0), (0, k - kc)]
-            return (jnp.pad(ents_sorted, pad),
-                    jnp.pad(sks == 0, pad, constant_values=False))
-        return ents_sorted[:, :k], sks[:, :k] == 0
+        cov_y = (rminy <= tys) & (tys < rmaxy) & cvalid[None, :]  # [cell,kc]
+        sky = jnp.where(cov_y, jnp.int32(0), jnp.int32(1))
+        skys, cands_y, rps_y = jax.lax.sort(
+            (sky, jnp.broadcast_to(cand[None, :], cov_y.shape),
+             jnp.broadcast_to(rp[None, :], cov_y.shape)),
+            dimension=-1, is_stable=True, num_keys=1)
+        cands_y, rps_y = cands_y[:, :krow], rps_y[:, :krow]
+        vy = skys[:, :krow] == 0                                  # [cell,krow]
+        # stage B: tiles within each row (x-axis test)
+        txs = (cx0 + jnp.arange(cell, dtype=jnp.int32))[None, :, None]
+        rminx = (rps_y & 0xFF)[:, None, :]                # [cell,1,krow]
+        rmaxx = ((rps_y >> 16) & 0xFF)[:, None, :]
+        cov = (rminx <= txs) & (txs < rmaxx) & vy[:, None, :]
+        skx = jnp.where(cov, jnp.int32(0), jnp.int32(1))
+        skxs, ents_sorted = jax.lax.sort(
+            (skx, jnp.broadcast_to(cands_y[:, None, :], cov.shape)),
+            dimension=-1, is_stable=True, num_keys=1)
+        ents2 = ents_sorted.reshape(cell * cell, krow)
+        v2 = (skxs == 0).reshape(cell * cell, krow)
+        if k > krow:  # tile capacity exceeds the row list: pad with invalid
+            pad = [(0, 0), (0, k - krow)]
+            return jnp.pad(ents2, pad), jnp.pad(v2, pad,
+                                                constant_values=False)
+        return ents2[:, :k], v2[:, :k]
 
     ents, valids = jax.lax.map(one_cell, jnp.arange(n_cells))
     # [n_cells, cell^2, K] -> padded tile grid -> [T, K]
