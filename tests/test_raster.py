@@ -304,6 +304,54 @@ class TestTwoLevelBinning:
         v = np.asarray(v1)
         np.testing.assert_array_equal(e1n[v], e2n[v])
 
+    @staticmethod
+    def _synthetic_prep(depths, rects):
+        """Minimal prep dict: tile-space rects given directly."""
+        n = len(depths)
+        r = np.asarray(rects, np.float32)
+        return dict(
+            depth=jnp.asarray(depths, jnp.float32),
+            visible=jnp.ones((n,), bool),
+            rect_min=jnp.asarray(r[:, :2]),
+            rect_max=jnp.asarray(r[:, 2:]),
+        )
+
+    def test_band_truncation_drops_farthest(self):
+        """When a y-band saturates band_capacity, the *farthest* Gaussians
+        are dropped and the surviving lists stay depth-sorted."""
+        import dataclasses
+        s = R.RasterSettings(32, 32, tile_capacity=8, bin_cell_tiles=2,
+                             cell_capacity=8, band_capacity=3)
+        # 5 gaussians, all covering tile (0,0) (band 0, cell 0)
+        depths = [5.0, 1.0, 3.0, 2.0, 4.0]
+        rects = [(0, 0, 1, 1)] * 5
+        ents, valid, _ = jax.jit(lambda p: R.bin_cells(s, p))(
+            self._synthetic_prep(depths, rects))
+        ents, valid = np.asarray(ents), np.asarray(valid)
+        assert valid[0].sum() == 3
+        # nearest three (ids 1, 3, 2) in depth order; 4.0 and 5.0 dropped
+        np.testing.assert_array_equal(ents[0][valid[0]], [1, 3, 2])
+
+    def test_cell_capacity_above_band_capacity_pads(self):
+        s = R.RasterSettings(32, 32, tile_capacity=4, bin_cell_tiles=2,
+                             cell_capacity=8, band_capacity=2)
+        ents, valid, rect = jax.jit(lambda p: R.bin_cells(s, p))(
+            self._synthetic_prep([1.0, 2.0, 3.0], [(0, 0, 1, 1)] * 3))
+        assert ents.shape == (1, 8) and valid.shape == (1, 8)
+        assert np.asarray(valid)[0].sum() == 2  # band keeps 2, rest padded
+
+    def test_tile_capacity_above_row_capacity_pads(self):
+        s = R.RasterSettings(32, 32, tile_capacity=8, bin_cell_tiles=2,
+                             cell_capacity=16, band_capacity=16,
+                             tile_row_capacity=2)
+        ents, valid = jax.jit(lambda p: R.bin_tiles(s, p))(
+            self._synthetic_prep([1.0, 2.0, 3.0, 4.0], [(0, 0, 1, 1)] * 4))
+        ents, valid = np.asarray(ents), np.asarray(valid)
+        assert ents.shape == (4, 8)
+        assert valid[0].sum() == 2          # row list truncates to 2
+        np.testing.assert_array_equal(ents[0][valid[0]], [0, 1])
+        assert not valid[1:].any()          # other tiles uncovered
+
 
 class TestAnalyticVJP:
     """The analytic custom-VJP compositor must match the autodiff path in
