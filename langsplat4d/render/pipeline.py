@@ -13,6 +13,7 @@ Stage semantics (reference :40-43,113-128,240-241):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, Optional
 
 import jax
@@ -106,6 +107,26 @@ def render(
         "coff": coff,
     }
     return out
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _binning_probe(settings, cam, xyz, opacity, scaling, rotation, shs,
+                   active):
+    from langsplat4d.render.raster import binning_saturation, preprocess
+    prep = preprocess(settings, cam, xyz, jnp.zeros_like(xyz[:, :2]),
+                      jax.nn.sigmoid(opacity), jnp.exp(scaling),
+                      safe_normalize(rotation), shs, None, active=active)
+    return binning_saturation(settings, prep)
+
+
+def binning_report(settings: RasterSettings, cam: CameraParams,
+                   gs: GaussianState) -> Dict[str, float]:
+    """Binning-saturation probe on the undeformed Gaussians (deformation
+    displacements are small relative to the cell granularity). See
+    raster.binning_saturation for field meanings."""
+    stats = _binning_probe(settings, cam, gs.xyz, gs.opacity, gs.scaling,
+                           gs.rotation, gs.get_features(), gs.active_mask())
+    return {k: float(v) for k, v in stats.items()}
 
 
 def make_raster_settings(height: int, width: int, *, sh_degree: int,

@@ -660,6 +660,35 @@ def _composite_cells(settings: RasterSettings, prep, features, bg):
     return img[:, : settings.image_height, : settings.image_width]
 
 
+def binning_saturation(settings: RasterSettings,
+                       prep: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Truncation diagnostics for the capacity-bounded binning levels (for
+    report iterations — not the hot path).
+
+    Returns:
+    - band_max_count: exact peak y-band occupancy (compare against
+      settings.band_capacity; above it, the farthest Gaussians of that band
+      are dropped);
+    - cell_full_frac / tile_full_frac: fraction of cell / per-tile lists
+      that are full — the only case in which that list's capacity may have
+      dropped entries (lists below capacity are exact).
+    """
+    prep = jax.lax.stop_gradient(prep)
+    cell = settings.bin_cell_tiles
+    rect_min, rect_max = prep["rect_min"], prep["rect_max"]
+    band_y0 = jnp.arange(settings.cells_y, dtype=rect_min.dtype) * cell
+    in_band = ((rect_min[None, :, 1] < band_y0[:, None] + cell)
+               & (rect_max[None, :, 1] > band_y0[:, None])
+               & prep["visible"][None, :])
+    _, cell_valid, _ = bin_cells(settings, prep)
+    _, tile_valid = bin_tiles(settings, prep)
+    return {
+        "band_max_count": in_band.sum(axis=1).max(),
+        "cell_full_frac": cell_valid[:, -1].astype(jnp.float32).mean(),
+        "tile_full_frac": tile_valid[:, -1].astype(jnp.float32).mean(),
+    }
+
+
 def rasterize(
     settings: RasterSettings,
     cam: CameraParams,

@@ -339,6 +339,27 @@ def training_report(cfg: Config, scene: Scene, state: TrainState,
         logger.info(f"\n[ITER {iteration}] Evaluating {name}: "
                     f"L1 {l1_total / n} PSNR {psnr_total / n}")
 
+    # Binning truncation probe (band/cell/tile capacities silently drop the
+    # farthest Gaussians when saturated — surface it at report iterations).
+    test_cams = scene.getTestCameras() or scene.getTrainCameras()
+    if len(test_cams) > 0:
+        from langsplat4d.render.pipeline import binning_report
+        stats = binning_report(step_cfg.settings,
+                               test_cams[0].camera_params(),
+                               state.gaussians())
+        msg = (f"[ITER {iteration}] binning: band max "
+               f"{int(stats['band_max_count'])}/"
+               f"{step_cfg.settings.band_capacity}, full lists "
+               f"cell {stats['cell_full_frac']:.1%} "
+               f"tile {stats['tile_full_frac']:.1%}")
+        if (stats["band_max_count"] >= step_cfg.settings.band_capacity
+                or stats["cell_full_frac"] > 0.05
+                or stats["tile_full_frac"] > 0.05):
+            logger.warning(msg + " — capacities saturated; raise "
+                           "band_capacity/cell_capacity/tile_capacity.")
+        else:
+            logger.info(msg)
+
 
 def render_process_snapshot(cfg: Config, scene: Scene, state: TrainState,
                             dcfg: DeformConfig, step_cfg: StepConfig,

@@ -340,6 +340,16 @@ class TestTwoLevelBinning:
         assert ents.shape == (1, 8) and valid.shape == (1, 8)
         assert np.asarray(valid)[0].sum() == 2  # band keeps 2, rest padded
 
+    def test_binning_saturation_probe(self):
+        s = R.RasterSettings(32, 32, tile_capacity=8, bin_cell_tiles=2,
+                             cell_capacity=2, band_capacity=16)
+        stats = jax.jit(lambda p: R.binning_saturation(s, p))(
+            self._synthetic_prep([1.0, 2.0, 3.0], [(0, 0, 1, 1)] * 3))
+        assert int(stats["band_max_count"]) == 3
+        # the single populated cell is full (3 > kc=2); 1 of 1 cells
+        assert float(stats["cell_full_frac"]) == 1.0
+        assert float(stats["tile_full_frac"]) == 0.0  # k=8 > 2 entries
+
     def test_tile_capacity_above_row_capacity_pads(self):
         s = R.RasterSettings(32, 32, tile_capacity=8, bin_cell_tiles=2,
                              cell_capacity=16, band_capacity=16,
