@@ -7,9 +7,12 @@ differentiable (including language features) for the training loop.
 
 TPU-first design instead of a CUDA translation:
 - Preprocess (projection, EWA 2D covariance, SH eval) is batched jnp/vmap.
-- Tile binning is scatter-free: a depth-rank top-k per tile yields each tile's
-  front-to-back Gaussian list under XLA's static shapes (no device-side
-  dynamic allocation / atomics, SURVEY §7 hard-part #1).
+- Tile binning is scatter-free and separable: a -depth top-k selects each
+  y-band's candidates (top_k returns them depth-sorted), then stable
+  variadic sorts compact bands into cells, cells into tile rows, and tile
+  rows into tiles — per-axis interval tests, payloads carried by the sort,
+  all under XLA's static shapes (no device-side dynamic allocation /
+  atomics, SURVEY §7 hard-part #1).
 - Per-tile compositing runs as a `lax.scan` over fixed-size chunks whose
   transmittance-weighted feature reduction is a matmul (MXU). Early
   termination (T < 1e-4) and the alpha < 1/255 skip reproduce the CUDA
@@ -327,7 +330,7 @@ def bin_cells(settings: RasterSettings, prep: Dict[str, jnp.ndarray],
 
 
 def bin_tiles(settings: RasterSettings, prep: Dict[str, jnp.ndarray]):
-    """Per-tile front-to-back Gaussian lists via depth-rank top-k.
+    """Per-tile front-to-back Gaussian lists via separable selection.
 
     Returns (entries [T, K] int32 indices into the original arrays, valid
     [T, K] bool). Scatter-free: for each tile the score of Gaussian g is
