@@ -12,6 +12,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from langsplat4d.utils.platform import apply_platform_env
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
     from langsplat4d.ae import model as M

@@ -46,7 +46,16 @@ def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None,
         data = n // gauss
     elif gauss is None:
         gauss = n // data
-    assert data * gauss == n, (data, gauss, n)
+    if data * gauss != n:
+        raise ValueError(
+            f"mesh shape (data={data}, gauss={gauss}) does not factorize "
+            f"n_devices={n}")
+    if len(devices) < n:
+        raise ValueError(
+            f"requested a {data}x{gauss} mesh ({n} devices) but only "
+            f"{len(devices)} JAX devices are visible; on CPU set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} before JAX "
+            "initializes (see __graft_entry__._apply_platform_env)")
     dev_array = np.asarray(devices[:n]).reshape(data, gauss)
     return Mesh(dev_array, (DATA_AXIS, GAUSS_AXIS))
 
