@@ -1,4 +1,4 @@
-# HyperNeRF default overlay (mirrors arguments/hypernerf/default.py semantics)
+# DyCheck defaults — mirrors arguments/dycheck/default.py.
 ModelHiddenParams = dict(
     kplanes_config=dict(
         grid_dimensions=2,
@@ -9,10 +9,15 @@ ModelHiddenParams = dict(
     multires=[1, 2, 4],
     defor_depth=1,
     net_width=128,
+    plane_tv_weight=0.0002,
+    time_smoothness_weight=0.001,
+    l1_time_planes=0.0001,
+)
+ModelParams = dict(
+    render_process=True,
 )
 OptimizationParams = dict(
-    coarse_base_iterations=3000,
-    coarse_lang_iterations=1000,
-    fine_base_iterations=10000,
-    fine_lang_iterations=10000,
+    batch_size=2,
+    densify_until_iter=10_000,
+    opacity_reset_interval=300000,
 )

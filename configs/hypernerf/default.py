@@ -1,0 +1,30 @@
+# HyperNeRF defaults — mirrors arguments/hypernerf/default.py.
+#
+# The reference preset also sets legacy keys `iterations=30000` /
+# `coarse_iterations=7000`, but its own merge_hparams silently drops
+# `coarse_iterations` (no such attr on OptimizationParams) and train.py:430
+# overwrites `iterations` with the sum of the 4 stage budgets — so the
+# effective schedule is the argparse default (3000+1000+10000+10000), kept
+# here.
+ModelHiddenParams = dict(
+    kplanes_config=dict(
+        grid_dimensions=2,
+        input_coordinate_dim=4,
+        output_coordinate_dim=16,
+        resolution=[64, 64, 64, 150],
+    ),
+    multires=[1, 2, 4],
+    defor_depth=1,
+    net_width=128,
+    plane_tv_weight=0.0002,
+    time_smoothness_weight=0.001,
+    l1_time_planes=0.0001,
+)
+ModelParams = dict(
+    render_process=True,
+)
+OptimizationParams = dict(
+    batch_size=2,
+    densify_until_iter=10_000,
+    opacity_reset_interval=300000,
+)

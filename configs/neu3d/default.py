@@ -1,0 +1,37 @@
+# Neu3D/DyNeRF defaults — mirrors arguments/neu3d/default.py.
+#
+# The reference preset's legacy `iterations=14000`/`coarse_iterations=3000`
+# keys are dropped/overwritten by its own merge (see
+# configs/hypernerf/default.py note); effective stage budgets stay at the
+# argparse defaults.
+ModelHiddenParams = dict(
+    kplanes_config=dict(
+        grid_dimensions=2,
+        input_coordinate_dim=4,
+        output_coordinate_dim=16,
+        resolution=[64, 64, 64, 150],
+    ),
+    multires=[1, 2],
+    defor_depth=0,
+    net_width=128,
+    plane_tv_weight=0.0002,
+    time_smoothness_weight=0.001,
+    l1_time_planes=0.0001,
+    no_do=False,
+    no_dshs=False,
+    no_ds=False,
+    empty_voxel=False,
+    static_mlp=False,
+)
+ModelParams = dict(
+    render_process=False,
+)
+OptimizationParams = dict(
+    dataloader=True,
+    batch_size=4,
+    densify_until_iter=10_000,
+    opacity_reset_interval=60000,
+    opacity_threshold_coarse=0.005,
+    opacity_threshold_fine_init=0.005,
+    opacity_threshold_fine_after=0.005,
+)

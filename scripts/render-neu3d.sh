@@ -6,6 +6,6 @@ ITER=${3:--1}
 for LEVEL in 1 2 3; do
   python render.py --model_path "output/${EXPNAME}_${LEVEL}" \
       --source_path "$SCENE_PATH" --feature_level "$LEVEL" \
-      --configs configs/neu3d_default.py \
+      --configs configs/neu3d/default.py \
       --mode lang --load_stage fine-lang --iteration "$ITER" --skip_train --skip_video
 done

@@ -11,11 +11,11 @@ export language_feature_hiddendim=$LANG_DIM
 # Phase A: geometry + static language features (no temporal language MLP),
 # checkpoint at 10000 for the discrete resume.
 python train.py --source_path "$SCENE_PATH" --expname "$EXPNAME" \
-    --configs configs/hypernerf_default.py \
+    --configs configs/hypernerf/default.py \
     --fine_lang_iterations 0 --no_dlang 0 --checkpoint_iterations 10000
 
 # Phase B: resume into fine-lang-discrete with per-Gaussian feature centers.
 use_discrete_lang_f=t python train.py --source_path "$SCENE_PATH" \
-    --expname "$EXPNAME" --configs configs/hypernerf_default.py \
+    --expname "$EXPNAME" --configs configs/hypernerf/default.py \
     --resume_from_final_stage 1 --init_from_stage fine-base \
     --start_checkpoint "output/$EXPNAME/chkpnt_fine-base_10000.pth"

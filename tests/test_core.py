@@ -1,3 +1,4 @@
+import os
 """Unit tests for core math: SH, transforms, state, PLY IO, knn, config."""
 import numpy as np
 import jax
@@ -215,3 +216,57 @@ class TestConfig:
         cfg2 = cfglib.load_cfg_args(str(tmp_path), cfglib.Config())
         assert cfg2.optim.batch_size == 7
         assert cfg2.model.source_path == "/data/x"
+
+
+class TestScenePresets:
+    """The shipped per-scene presets reproduce the reference hyperparameters
+    (arguments/{hypernerf,neu3d,dnerf,dycheck,multipleview}/*.py)."""
+    ROOT = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+    def _load(self, rel):
+        cfg = cfglib.Config()
+        cfglib.apply_overrides(
+            cfg, cfglib.load_py_config(os.path.join(self.ROOT, rel)))
+        return cfg
+
+    @pytest.mark.parametrize("scene,treso", [
+        ("chicken", 80), ("3dprinter", 100), ("banana", 250),
+        ("broom2", 100), ("default", 150)])
+    def test_hypernerf(self, scene, treso):
+        cfg = self._load(f"hypernerf/{scene}.py")
+        assert cfg.hidden.kplanes_config["resolution"] == [64, 64, 64, treso]
+        assert cfg.hidden.kplanes_config["output_coordinate_dim"] == 16
+        assert cfg.hidden.multires == [1, 2, 4]
+        assert cfg.hidden.net_width == 128
+        assert cfg.hidden.plane_tv_weight == 0.0002
+        assert cfg.optim.opacity_reset_interval == 300000
+
+    @pytest.mark.parametrize("scene,bs", [
+        ("coffee_martini", 4), ("flame_salmon", 4), ("cook_spinach", 2),
+        ("cut_roasted_beef", 2), ("flame_steak", 2), ("sear_steak", 2)])
+    def test_neu3d(self, scene, bs):
+        cfg = self._load(f"neu3d/{scene}.py")
+        assert cfg.optim.batch_size == bs
+        assert cfg.optim.dataloader is True
+        assert cfg.hidden.defor_depth == 0
+        assert cfg.hidden.multires == [1, 2]
+        assert cfg.hidden.no_do is False and cfg.hidden.no_dshs is False
+        assert cfg.optim.opacity_threshold_coarse == 0.005
+
+    @pytest.mark.parametrize("scene,treso", [
+        ("bouncingballs", 75), ("hellwarrior", 50), ("hook", 50),
+        ("jumpingjacks", 100), ("lego", 25), ("mutant", 75),
+        ("standup", 75), ("trex", 100)])
+    def test_dnerf(self, scene, treso):
+        cfg = self._load(f"dnerf/{scene}.py")
+        assert cfg.hidden.kplanes_config["resolution"] == [64, 64, 64, treso]
+        assert cfg.hidden.kplanes_config["output_coordinate_dim"] == 32
+        assert cfg.hidden.net_width == 64
+        assert cfg.optim.pruning_interval == 8000
+        assert cfg.optim.grid_lr_final == 0.000016
+
+    def test_dycheck_multipleview(self):
+        dy = self._load("dycheck/default.py")
+        assert dy.hidden.multires == [1, 2, 4] and dy.optim.batch_size == 2
+        mv = self._load("multipleview/default.py")
+        assert mv.optim.batch_size == 1 and mv.optim.dataloader is True
