@@ -126,8 +126,12 @@ def init_deform_params(key, cfg: DeformConfig) -> Dict[str, Any]:
     params["timenet"] = mlp_init(keys[1], [times_ch, cfg.timenet_width,
                                            cfg.timenet_output])
     feat_in = 4 if cfg.no_grid else cfg.grid_feat_dim
-    # feature_out: Linear(feat_in, W) + (D-1) x [ReLU, Linear(W, W)]
-    params["feature_out"] = mlp_init(keys[2], [feat_in] + [W] * cfg.defor_depth)
+    # feature_out: Linear(feat_in, W) + (D-1) x [ReLU, Linear(W, W)].
+    # The reference builds the first Linear unconditionally and appends D-1
+    # extra layers (scene/deformation.py:52-60), so defor_depth=0 (the Neu3D/
+    # D-NeRF presets) still yields one Linear — clamp to at least one layer.
+    params["feature_out"] = mlp_init(
+        keys[2], [feat_in] + [W] * max(1, cfg.defor_depth))
     params["pos_deform"] = mlp_init(keys[3], [W, W, 3])
     params["scales_deform"] = mlp_init(keys[4], [W, W, 3])
     params["rotations_deform"] = mlp_init(keys[5], [W, W, 4])
@@ -145,16 +149,26 @@ def init_deform_params(key, cfg: DeformConfig) -> Dict[str, Any]:
     return params
 
 
-def _query_time(params, cfg: DeformConfig, aabb, xyz, t):
+def _query_time(params, cfg: DeformConfig, aabb, xyz, t, grid_spatial=None):
     """Grid feature + trunk -> hidden (reference query_time,
     scene/deformation.py:70-86)."""
     if cfg.no_grid:
         h = jnp.concatenate([xyz, t], axis=-1)
     else:
-        h = hp.hexplane_query(params["grid"], aabb, xyz, t)
+        h = hp.hexplane_query(params["grid"], aabb, xyz, t,
+                              spatial=grid_spatial)
         if cfg.grid_pe > 1:
             h = poc_fre(h, poc_freqs(cfg.grid_pe))
     return mlp_apply(params["feature_out"], h)
+
+
+def make_grid_spatial_cache(params, cfg: DeformConfig, aabb, xyz):
+    """Precompute the time-independent spatial-plane products for a fixed
+    point set — reused across frames by the render drivers (the xyz input to
+    the grid query does not change between frames of a trajectory render)."""
+    if cfg.no_grid:
+        return None
+    return hp.hexplane_spatial(params["grid"], aabb, xyz)
 
 
 def deform_forward(
@@ -170,6 +184,7 @@ def deform_forward(
                                # discrete mode)
     times: jnp.ndarray,        # [N,1] in [0,1]
     init_centers: bool = False,
+    grid_spatial=None,         # optional make_grid_spatial_cache(...) output
 ) -> Tuple[jnp.ndarray, ...]:
     """Full dynamic deformation (reference deform_network.forward_dynamic ->
     Deformation.forward_dynamic, scene/deformation.py:103-182,232-248).
@@ -178,7 +193,7 @@ def deform_forward(
     coff is None unless discrete mode is active.
     """
     time_pos_emb = poc_fre(times, poc_freqs(cfg.timebase_pe))  # [N, 2P+1]
-    hidden = _query_time(params, cfg, aabb, xyz, times)
+    hidden = _query_time(params, cfg, aabb, xyz, times, grid_spatial)
 
     if cfg.static_mlp:
         mask = mlp_apply(params["static_mlp"], hidden, pre_relu=True)

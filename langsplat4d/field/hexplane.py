@@ -67,8 +67,30 @@ def normalize_aabb(pts: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
     return (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
 
 
+def hexplane_spatial(params, aabb: jnp.ndarray,
+                     pts: jnp.ndarray) -> List[jnp.ndarray]:
+    """Time-independent part of the query: per-scale product of the purely
+    spatial planes (xy, xz, yz). For a fixed scene rendered at many times
+    (render.py's FPS loop) this is computable once and reused per frame —
+    half the plane gathers drop out of the per-frame path.
+
+    Returns a list of [n, C] arrays, one per scale.
+    """
+    p = normalize_aabb(pts, aabb)
+    per_scale = []
+    for scale_planes in params["grids"]:
+        interp = 1.0
+        for ci in TV_PLANE_IDS:
+            comb = COO_COMBS[ci]
+            interp = interp * grid_sample_2d(scale_planes[ci],
+                                             p[:, list(comb)])
+        per_scale.append(interp)
+    return per_scale
+
+
 def hexplane_query(params, aabb: jnp.ndarray, pts: jnp.ndarray,
-                   timestamps: jnp.ndarray) -> jnp.ndarray:
+                   timestamps: jnp.ndarray,
+                   spatial: List[jnp.ndarray] | None = None) -> jnp.ndarray:
     """Interpolate multiscale features at (xyz, t).
 
     Args:
@@ -77,15 +99,20 @@ def hexplane_query(params, aabb: jnp.ndarray, pts: jnp.ndarray,
             (requires_grad=False in the reference, scene/hexplane.py:120).
         pts: [n, 3] raw world coordinates.
         timestamps: [n, 1] times in [0, 1].
+        spatial: optional precomputed hexplane_spatial(params, aabb, pts) —
+            must correspond to the same (params, aabb, pts).
 
     Returns: [n, feat_dim] with feat_dim = out_dim * num_scales.
     """
     p = normalize_aabb(pts, aabb)
     p4 = jnp.concatenate([p, timestamps], axis=-1)  # [n, 4]
+    if spatial is None:
+        spatial = hexplane_spatial(params, aabb, pts)
     per_scale = []
-    for scale_planes in params["grids"]:
-        interp = 1.0
-        for ci, comb in enumerate(COO_COMBS):
+    for si, scale_planes in enumerate(params["grids"]):
+        interp = spatial[si]
+        for ci in TIME_PLANE_IDS:
+            comb = COO_COMBS[ci]
             coords = p4[:, list(comb)]  # [n, 2]; coords[:,0]->W, [:,1]->H
             interp = interp * grid_sample_2d(scale_planes[ci], coords)
         per_scale.append(interp)

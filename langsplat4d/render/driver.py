@@ -85,10 +85,20 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
     deform = state.params["deform"]
     aabb = state.aabb
 
+    # The Gaussian set is fixed across the trajectory, so the HexPlane's
+    # time-independent spatial-plane products are computed once and reused by
+    # every frame (halves the per-frame grid gathers).
+    from langsplat4d.field.deformation import make_grid_spatial_cache
+    grid_spatial = None
+    if load_stage.startswith("fine"):
+        grid_spatial = jax.jit(make_grid_spatial_cache,
+                               static_argnums=(1,))(deform, dcfg, aabb, gs.xyz)
+
     @jax.jit
     def render_one(camp, t):
         out = render(settings, dcfg, load_stage, camp, t, gs, deform, aabb, bg,
-                     nonormalized=cfg.runtime.nonormalized)
+                     nonormalized=cfg.runtime.nonormalized,
+                     grid_spatial=grid_spatial)
         key = "render" if mode == "rgb" else "language_feature_image"
         return out[key]
 

@@ -42,6 +42,7 @@ def render(
     scaling_modifier: float = 1.0,
     override_color: Optional[jnp.ndarray] = None,
     nonormalized: bool = False,
+    grid_spatial=None,
 ) -> Dict[str, jnp.ndarray]:
     """One differentiable render. `settings`, `dcfg`, `stage` must be static.
 
@@ -81,9 +82,12 @@ def render(
         else:
             stage_dcfg = dataclasses.replace(dcfg, use_discrete_lang_f=False)
         times = jnp.broadcast_to(jnp.asarray(time, jnp.float32), (n, 1))
+        # grid_spatial: optional cached time-independent plane products
+        # (field.deformation.make_grid_spatial_cache) — valid only while the
+        # Gaussian positions are fixed, i.e. trajectory rendering.
         (means3d, scales, rotations, opacity, shs, lang, coff) = deform_forward(
             deform_params, stage_dcfg, aabb, means3d, scales, rotations,
-            opacity, shs, lang, times)
+            opacity, shs, lang, times, grid_spatial=grid_spatial)
 
     scales_act = jnp.exp(scales)
     if scaling_modifier != 1.0:

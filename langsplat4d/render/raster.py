@@ -33,7 +33,6 @@ import jax.numpy as jnp
 from flax import struct
 
 from langsplat4d.core.sh import eval_sh
-from langsplat4d.core.transforms import quat_to_rotmat
 
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
@@ -150,64 +149,103 @@ def preprocess(
     focal_x = w / (2.0 * cam.tanfovx)
     focal_y = h / (2.0 * cam.tanfovy)
 
-    # Camera transforms and covariance products run at HIGHEST matmul
-    # precision: on TPU the default MXU precision is bf16, whose ~0.3%
-    # relative error visibly shifts projected centers/conics (amplified by
-    # exp() in alpha).
-    hp = jax.lax.Precision.HIGHEST
-    ones = jnp.ones((n, 1), means3d.dtype)
-    p_hom4 = jnp.concatenate([means3d, ones], axis=1)
-    p_view = jnp.matmul(p_hom4, cam.viewmatrix, precision=hp)   # [N,4]
-    depth = p_view[:, 2]
+    # TPU layout note: all per-Gaussian math runs in transposed
+    # struct-of-rows layout [C, N] — N on the 128-lane axis — so the VPU sees
+    # full rows instead of [N, 3]-style arrays padded 3->128 lanes (a 42x
+    # memory-traffic blowup), and the 4x4 camera transforms become explicit
+    # scalar-coefficient FMA chains (fp32-exact; no MXU precision concerns,
+    # no batched tiny matmuls).
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    V = cam.viewmatrix   # row-vector convention: p_hom @ V
+    P = cam.projmatrix
 
-    p_proj_hom = jnp.matmul(p_hom4, cam.projmatrix, precision=hp)  # [N,4]
-    p_w = 1.0 / (p_proj_hom[:, 3] + 1e-7)
-    p_ndc = p_proj_hom[:, :3] * p_w[:, None]
+    def xform_row(M, col):
+        return mx * M[0, col] + my * M[1, col] + mz * M[2, col] + M[3, col]
+
+    pv_x = xform_row(V, 0)
+    pv_y = xform_row(V, 1)
+    depth = xform_row(V, 2)
+
+    pp_x = xform_row(P, 0)
+    pp_y = xform_row(P, 1)
+    pp_w = xform_row(P, 3)
+    inv_w = 1.0 / (pp_w + 1e-7)
     # Differentiable 2D-mean tap: dummy added in NDC so its gradient matches
     # the CUDA dL_dmean2D scale used by the densify threshold (train.py:391).
-    ndc_xy = p_ndc[:, :2] + means2d_dummy
-    point_image = ((ndc_xy + 1.0) * jnp.asarray([w, h], means3d.dtype) - 1.0) * 0.5
+    ndc_x = pp_x * inv_w + means2d_dummy[:, 0]
+    ndc_y = pp_y * inv_w + means2d_dummy[:, 1]
+    pi_x = ((ndc_x + 1.0) * w - 1.0) * 0.5
+    pi_y = ((ndc_y + 1.0) * h - 1.0) * 0.5
 
-    # --- 3D covariance ---
+    # --- 3D covariance (6 unique entries as rows) ---
     if cov3d_precomp is not None:
         c3 = cov3d_precomp
-        cov3d = jnp.stack([
-            c3[:, 0], c3[:, 1], c3[:, 2],
-            c3[:, 1], c3[:, 3], c3[:, 4],
-            c3[:, 2], c3[:, 4], c3[:, 5],
-        ], axis=-1).reshape(n, 3, 3)
+        s_xx, s_xy, s_xz = c3[:, 0], c3[:, 1], c3[:, 2]
+        s_yy, s_yz, s_zz = c3[:, 3], c3[:, 4], c3[:, 5]
     else:
-        R = quat_to_rotmat(rotations)
-        L = R * scales[:, None, :]
-        cov3d = jnp.matmul(L, jnp.swapaxes(L, 1, 2), precision=hp)
+        # R from normalized quat, L = R * diag(scales), Sigma = L L^T
+        # (normalization mirrors quat_to_rotmat / reference build_rotation).
+        q_inv = jax.lax.rsqrt(jnp.sum(rotations * rotations, axis=-1))
+        qr, qx, qy, qz = (rotations[:, 0] * q_inv, rotations[:, 1] * q_inv,
+                          rotations[:, 2] * q_inv, rotations[:, 3] * q_inv)
+        r00 = 1 - 2 * (qy * qy + qz * qz)
+        r01 = 2 * (qx * qy - qr * qz)
+        r02 = 2 * (qx * qz + qr * qy)
+        r10 = 2 * (qx * qy + qr * qz)
+        r11 = 1 - 2 * (qx * qx + qz * qz)
+        r12 = 2 * (qy * qz - qr * qx)
+        r20 = 2 * (qx * qz - qr * qy)
+        r21 = 2 * (qy * qz + qr * qx)
+        r22 = 1 - 2 * (qx * qx + qy * qy)
+        s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+        l00, l01, l02 = r00 * s0, r01 * s1, r02 * s2
+        l10, l11, l12 = r10 * s0, r11 * s1, r12 * s2
+        l20, l21, l22 = r20 * s0, r21 * s1, r22 * s2
+        s_xx = l00 * l00 + l01 * l01 + l02 * l02
+        s_xy = l00 * l10 + l01 * l11 + l02 * l12
+        s_xz = l00 * l20 + l01 * l21 + l02 * l22
+        s_yy = l10 * l10 + l11 * l11 + l12 * l12
+        s_yz = l10 * l20 + l11 * l21 + l12 * l22
+        s_zz = l20 * l20 + l21 * l21 + l22 * l22
 
     # --- EWA projection to 2D ---
-    tz = p_view[:, 2]
+    tz = depth
     limx = 1.3 * cam.tanfovx
     limy = 1.3 * cam.tanfovy
-    txtz = p_view[:, 0] / tz
-    tytz = p_view[:, 1] / tz
-    tx = jnp.clip(txtz, -limx, limx) * tz
-    ty = jnp.clip(tytz, -limy, limy) * tz
+    inv_tz = 1.0 / tz
+    tx = jnp.clip(pv_x * inv_tz, -limx, limx) * tz
+    ty = jnp.clip(pv_y * inv_tz, -limy, limy) * tz
 
-    zero = jnp.zeros_like(tz)
-    J = jnp.stack([
-        focal_x / tz, zero, -(focal_x * tx) / (tz * tz),
-        zero, focal_y / tz, -(focal_y * ty) / (tz * tz),
-    ], axis=-1).reshape(n, 2, 3)
+    # J rows: [fx/tz, 0, -fx*tx/tz^2; 0, fy/tz, -fy*ty/tz^2]
+    j00 = focal_x * inv_tz
+    j02 = -(focal_x * tx) * (inv_tz * inv_tz)
+    j11 = focal_y * inv_tz
+    j12 = -(focal_y * ty) * (inv_tz * inv_tz)
     # Camera-from-world rotation: rows of W2V = columns of the stored
-    # (transposed) viewmatrix.
-    R_wc = cam.viewmatrix[:3, :3].T
-    T = jnp.matmul(J, R_wc, precision=hp)       # [N,2,3]
-    cov2d = jnp.matmul(jnp.matmul(T, cov3d, precision=hp),
-                       jnp.swapaxes(T, 1, 2), precision=hp)  # [N,2,2]
-    cxx = cov2d[:, 0, 0] + 0.3
-    cyy = cov2d[:, 1, 1] + 0.3
-    cxy = cov2d[:, 0, 1]
+    # (transposed) viewmatrix, i.e. R_wc[b][c] = V[c, b];
+    # T[a][c] = sum_b J[a][b] * R_wc[b][c] (J[0][1] = J[1][0] = 0).
+    t00 = j00 * V[0, 0] + j02 * V[0, 2]
+    t01 = j00 * V[1, 0] + j02 * V[1, 2]
+    t02 = j00 * V[2, 0] + j02 * V[2, 2]
+    t10 = j11 * V[0, 1] + j12 * V[0, 2]
+    t11 = j11 * V[1, 1] + j12 * V[1, 2]
+    t12 = j11 * V[2, 1] + j12 * V[2, 2]
+
+    # cov2d = T Sigma T^T (2x2 symmetric; 3 unique rows)
+    u0 = t00 * s_xx + t01 * s_xy + t02 * s_xz
+    u1 = t00 * s_xy + t01 * s_yy + t02 * s_yz
+    u2 = t00 * s_xz + t01 * s_yz + t02 * s_zz
+    v0 = t10 * s_xx + t11 * s_xy + t12 * s_xz
+    v1 = t10 * s_xy + t11 * s_yy + t12 * s_yz
+    v2 = t10 * s_xz + t11 * s_yz + t12 * s_zz
+    cxx = u0 * t00 + u1 * t01 + u2 * t02 + 0.3
+    cxy = u0 * t10 + u1 * t11 + u2 * t12
+    cyy = v0 * t10 + v1 * t11 + v2 * t12 + 0.3
 
     det = cxx * cyy - cxy * cxy
     det_safe = jnp.where(det == 0.0, 1.0, det)
-    conic = jnp.stack([cyy / det_safe, -cxy / det_safe, cxx / det_safe], axis=-1)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=-1)
 
     mid = 0.5 * (cxx + cyy)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
@@ -216,15 +254,45 @@ def preprocess(
     visible = (depth > 0.2) & (det != 0.0)
     if active is not None:
         visible = visible & active
+
+    # Binning bounds. The CUDA reference bins the square 3*sqrt(lambda_max)
+    # rect (getRect). With the hard cutoffs on, any pixel whose alpha falls
+    # below 1/255 is killed by the compositor anyway, so tighter bounds that
+    # only exclude such pixels are image-exact while shrinking every
+    # downstream per-tile list:
+    # - opacity-aware reach: op * exp(power) >= 1/255 requires
+    #   -2*power <= t2 := 2*ln(255*op) (and never beyond the 3-sigma ellipse,
+    #   so t2 is clamped to 9);
+    # - per-axis marginals: max over the other axis of the quadratic form at
+    #   offset dx is dx^2 / cov_xx (the marginal variance), so the tight
+    #   per-axis half-extents are sqrt(t2 * cov_xx), sqrt(t2 * cov_yy) —
+    #   separable, and <= the isotropic sqrt(t2 * lambda_max).
+    if settings.hard_cutoffs:
+        t2 = 2.0 * jnp.log(jnp.maximum(opacities[:, 0], 1e-30) * 255.0)
+        t2 = jnp.clip(t2, 0.0, 9.0)
+        bound_x = jnp.sqrt(t2 * jnp.maximum(cxx, 0.0))
+        bound_y = jnp.sqrt(t2 * jnp.maximum(cyy, 0.0))
+        reachable = t2 > 0.0
+    else:
+        # FD-gradient validation mode: cutoffs off, every binned Gaussian
+        # contributes — keep the reference's conservative square rect.
+        bound_x = bound_y = radius
+        reachable = jnp.ones_like(visible)
+
     # Off-screen cull: zero-area tile rectangle (CUDA getRect semantics).
     ts = settings.tile_size
-    rect_min_x = jnp.clip(((point_image[:, 0] - radius) / ts), 0, settings.tiles_x)
-    rect_max_x = jnp.clip(((point_image[:, 0] + radius + ts - 1) / ts), 0, settings.tiles_x)
-    rect_min_y = jnp.clip(((point_image[:, 1] - radius) / ts), 0, settings.tiles_y)
-    rect_max_y = jnp.clip(((point_image[:, 1] + radius + ts - 1) / ts), 0, settings.tiles_y)
-    rect_min = jnp.stack([jnp.floor(rect_min_x), jnp.floor(rect_min_y)], -1)
-    rect_max = jnp.stack([jnp.floor(rect_max_x), jnp.floor(rect_max_y)], -1)
-    span = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
+    binnable = visible & reachable
+    rmin_x = jnp.floor(jnp.clip((pi_x - bound_x) / ts, 0, settings.tiles_x))
+    rmax_x = jnp.floor(jnp.clip((pi_x + bound_x + ts - 1) / ts, 0,
+                                settings.tiles_x))
+    rmin_y = jnp.floor(jnp.clip((pi_y - bound_y) / ts, 0, settings.tiles_y))
+    rmax_y = jnp.floor(jnp.clip((pi_y + bound_y + ts - 1) / ts, 0,
+                                settings.tiles_y))
+    rmin_x = jnp.where(binnable, rmin_x, 0.0)
+    rmax_x = jnp.where(binnable, rmax_x, 0.0)
+    rmin_y = jnp.where(binnable, rmin_y, 0.0)
+    rmax_y = jnp.where(binnable, rmax_y, 0.0)
+    span = (rmax_x - rmin_x) * (rmax_y - rmin_y)
     visible = visible & (span > 0)
     radii = jnp.where(visible, radius, 0.0)
 
@@ -232,11 +300,17 @@ def preprocess(
     if colors_precomp is not None:
         colors = colors_precomp
     else:
-        dirs = means3d - cam.campos[None, :]
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        dx = mx - cam.campos[0]
+        dy = my - cam.campos[1]
+        dz = mz - cam.campos[2]
+        inv_n = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dirs = jnp.stack([dx * inv_n, dy * inv_n, dz * inv_n], axis=-1)
         rgb = eval_sh(settings.sh_degree, jnp.swapaxes(shs, 1, 2), dirs)
         colors = jnp.maximum(rgb + 0.5, 0.0)
 
+    point_image = jnp.stack([pi_x, pi_y], axis=-1)
+    rect_min = jnp.stack([rmin_x, rmin_y], axis=-1)
+    rect_max = jnp.stack([rmax_x, rmax_y], axis=-1)
     return dict(
         point_image=point_image, conic=conic, depth=depth,
         opacity=opacities[:, 0], radii=radii, visible=visible,

@@ -142,6 +142,30 @@ class TestDeformation:
         np.testing.assert_allclose(np.linalg.norm(np.asarray(lang), axis=-1),
                                    1.0, atol=1e-4)
 
+
+
+    def test_spatial_cache_equals_uncached(self, rng):
+        cfg, params, aabb, io = self.setup_io(rng)
+        from langsplat4d.field.deformation import make_grid_spatial_cache
+        cache = make_grid_spatial_cache(params, cfg, aabb, io["xyz"])
+        base = deform_forward(params, cfg, aabb, **io)
+        cached = deform_forward(params, cfg, aabb, **io, grid_spatial=cache)
+        for a, b in zip(base[:-1], cached[:-1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_defor_depth_zero_matches_reference_single_linear(self, rng):
+        """Reference defor_depth=0 (Neu3D/D-NeRF presets) still builds one
+        Linear(feat_in, W) trunk (scene/deformation.py:52-60)."""
+        cfg0 = DeformConfig(net_width=16, posebase_pe=2, kplanes_out_dim=4,
+                            kplanes_resolution=(8, 8, 8, 4), multires=(1,),
+                            lang_dim=3, defor_depth=0)
+        cfg, params, aabb, io = self.setup_io(rng, cfg=cfg0)
+        assert len(params["feature_out"]) == 1
+        assert params["feature_out"][0]["w"].shape == (4, 16)
+        out = deform_forward(params, cfg, aabb, **io)
+        assert out[0].shape == io["xyz"].shape
+
     def test_poc_fre_matches_torch_layout(self, rng):
         import torch
         x = rng.normal(size=(5, 3)).astype(np.float32)
