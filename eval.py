@@ -76,6 +76,15 @@ def main(argv=None):
     p.add_argument("--smooth_feature_post_coff", nargs="+", type=float,
                    default=None)
     p.add_argument("--detail_results", action="store_true")
+    p.add_argument("--visualize_results", action="store_true",
+                   help="write per-prompt heatmap/composited/background/"
+                        "annotation images + chosen masks (eval/eval.py:"
+                        "178-224,300-307)")
+    # Adaptive thresholding (reference env knobs, eval/eval.py:226-239).
+    # CLI flags take precedence; the reference's env vars are honored too.
+    p.add_argument("--adaptive_thresh", action="store_true")
+    p.add_argument("--adaptive_alpha", type=float, default=None)
+    p.add_argument("--low_thresh_filter", type=int, default=None)
     p.add_argument("--text_embedding_cache", type=str, default=None,
                    help=".npz of prompt->CLIP text embedding (+negatives)")
     p.add_argument("--feat_root", type=str, default=None,
@@ -129,10 +138,33 @@ def main(argv=None):
             replace_prompts[key] = list(gt_frame_dict[key].keys())
             prompts_for_video.extend(gt_frame_dict[key].keys())
 
+    # Reference env-knob surface (eval/eval.py:226-239,540-542,613): CLI
+    # flags win, env vars are honored for script parity.
+    adaptive_on = args.adaptive_thresh or os.getenv("adaptive_thresh",
+                                                    "f") == "t"
+    adaptive_alpha = args.adaptive_alpha
+    if adaptive_alpha is None and os.getenv("adaptive_alpha"):
+        adaptive_alpha = float(os.environ["adaptive_alpha"])
+    low_filter = args.low_thresh_filter
+    if low_filter is None:
+        low_filter = int(os.getenv("low_thresh_filter", 0))
+    # smooth_video_feature_pre: the reference allocates a neighbor-frame list
+    # gated on this env (eval/eval.py:540-545) but never consumes it; we
+    # implement the evident intent — uniform temporal smoothing of the
+    # per-frame video-feature similarity over +-video_smooth_frames before
+    # thresholding.
+    pre_smooth_frames = 0
+    if os.getenv("smooth_video_feature_pre", "f") == "t":
+        pre_smooth_frames = int(os.getenv("video_smooth_frames", 2))
+    # use_vae: both branches of the reference's gate call the same MLP decode
+    # (eval/eval.py:613-615, VanillaVAE is dead code) — accepted, no-op.
+
     json_folder = os.path.join(args.annotation_folder, "train")
     gt_ann, image_shape, image_paths, id2name, name2id, im_id2imidx = \
         E.load_coco_annotations(json_folder, args.prompts, replace_prompts,
-                                args.dataset_type)
+                                args.dataset_type,
+                                visualize_results=args.visualize_results,
+                                vis_output_path=output_path)
     eval_index_list = [int(i) for i in gt_ann.keys()]
 
     # load rendered feature maps
@@ -182,11 +214,24 @@ def main(argv=None):
             continue
         pos_embeds = embedder.encode(prompts)
         gt_masks = {k: img_ann[k]["mask"] for k in prompts}
+        image_name = os.path.join(output_path, f"{idx + 1:0>5}")
+        rgb_img = None
+        if args.visualize_results:
+            os.makedirs(image_name, exist_ok=True)
+            import cv2
+            bgr = cv2.imread(image_paths[j])
+            if bgr is not None:
+                rgb_img = (bgr[..., ::-1] / 255.0).astype(np.float32)
         c_iou, c_lvl, per_prompt, mask_dict, mask_video_dict = \
             E.activate_stream(restored, prompts, pos_embeds, neg_embeds,
                               gt_masks, thresh=args.mask_tresh,
                               scale=args.scale,
-                              chose_mask_strategy=args.chose_mask_strategy)
+                              chose_mask_strategy=args.chose_mask_strategy,
+                              adaptive_thresh=adaptive_on,
+                              adaptive_alpha=adaptive_alpha,
+                              low_thresh_filter=low_filter,
+                              image=rgb_img, image_name=image_name,
+                              visualize_results=args.visualize_results)
         for key, (iou, lvl_c, lvl_all, thr_all) in per_prompt.items():
             sim = 0.0
             if args.apply_video_search and key in prompts_for_video:
@@ -204,7 +249,18 @@ def main(argv=None):
         if key in prompts_for_video:
             continue
         mean_iou_key = sum(fm[1] for fm in rows) / len(rows)
-        result_data.append([key, mean_iou_key])
+        # reference row layout (eval/eval.py:666-689): prompt, mean IoU,
+        # chosen levels, per-level similarity, per-level thresh, video sims,
+        # then one IoU column per annotated frame
+        row = [key, mean_iou_key,
+               [fm[2] for fm in rows],
+               [list(np.asarray(fm[3], dtype=float)) for fm in rows],
+               [fm[4] for fm in rows],
+               [fm[5] for fm in rows]]
+        by_idx = {fm[0]: fm[1] for fm in rows}
+        for idx in eval_index_list:
+            row.append(by_idx.get(idx, "NA"))
+        result_data.append(row)
         logger.info(f"key:{key}, mean_iou:{mean_iou_key}")
     if result_data:
         mean_iou = sum(fm[1] for fm in result_data) / len(result_data)
@@ -215,7 +271,10 @@ def main(argv=None):
         with open(os.path.join(output_path, "time-agnostic_results.csv"),
                   "w", newline="") as f:
             writer = csv.writer(f)
-            writer.writerow(["Prompt", "Mean IoU"])
+            header = ["Prompt", "Mean IoU", "Lvls", "Similarity", "Tresh",
+                      "Video feature Similarity"]
+            header += [f"frame_{i + 1}_iou" for i in eval_index_list]
+            writer.writerow(header)
             writer.writerows(result_data)
 
     if args.apply_video_search:
@@ -228,6 +287,11 @@ def main(argv=None):
                 [(im_id2imidx[fm[0]], fm[5], fm[1]) for fm in rows])
             clip_sim = sorted(
                 [(im_id2imidx[fm[0]], fm[3][fm[2]], fm[1]) for fm in rows])
+            if pre_smooth_frames > 0:
+                uni = [1.0 / (2 * pre_smooth_frames + 1)] * \
+                    (2 * pre_smooth_frames + 1)
+                video_sim = E.smooth_similarity(video_sim, pre_smooth_frames,
+                                                uni)
             if args.smooth_feature_post:
                 video_sim = E.smooth_similarity(
                     video_sim, args.smooth_feature_post_frames, smooth_coff)
@@ -235,6 +299,14 @@ def main(argv=None):
                     clip_sim, args.smooth_feature_post_frames, smooth_coff)
             video_thresh = sum(t[1] for t in video_sim) / len(video_sim)
             clip_thresh = sum(t[1] for t in clip_sim) / len(clip_sim)
+            E.save_similarity_plot(
+                video_sim,
+                os.path.join(output_path, f"{key}_video_feat_sim.png"),
+                thresh_hold=video_thresh)
+            E.save_similarity_plot(
+                clip_sim,
+                os.path.join(output_path, f"{key}_clip_feat_sim.png"),
+                thresh_hold=clip_thresh)
             for base_key, video_prompts in gt_frame_dict.items():
                 if key in video_prompts:
                     vres = E.evaluate_video_feature(video_sim,
@@ -253,6 +325,28 @@ def main(argv=None):
                                            vres["accuracy"]))
                     clip_res_list.append((cres["average_iou"],
                                           cres["accuracy"]))
+                    if args.detail_results:
+                        E.plot_confusion_matrix(
+                            vres["label_list"], vres["predict_list"],
+                            [False, True], f"video-{key}", output_path)
+                        E.plot_confusion_matrix(
+                            cres["label_list"], cres["predict_list"],
+                            [False, True], f"clip-{key}", output_path)
+            if args.detail_results:
+                with open(os.path.join(output_path,
+                                       f"video-query-results-{key}.csv"),
+                          "w", newline="") as f:
+                    writer = csv.writer(f)
+                    writer.writerow(
+                        ["Type"] + [f"frame_{fm[0]}_iou" for fm in clip_sim])
+                    writer.writerow(["clip similarity"]
+                                    + [fm[1] for fm in clip_sim])
+                    writer.writerow(["clip meaniou"]
+                                    + [fm[2] for fm in clip_sim])
+                    writer.writerow(["video similarity"]
+                                    + [fm[1] for fm in video_sim])
+                    writer.writerow(["video meaniou"]
+                                    + [fm[2] for fm in video_sim])
         if video_res_list:
             logger.info(
                 f"Video: Average vIoU: "

@@ -76,6 +76,78 @@ class TestMaskHelpers:
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+class TestMajoritySmooth:
+    def test_matches_reference_loop(self, rng):
+        """Integral-image majority filter == the reference's python loop
+        (eval/eval_utils.py:46-55), including its h-1/w-1 boundary clamp."""
+        m = (rng.uniform(size=(17, 13)) > 0.4).astype(np.uint8)
+
+        def ref_smooth(mask):
+            h, w = mask.shape[:2]
+            out = mask.copy()
+            scale = 3
+            for i in range(h):
+                for j in range(w):
+                    sq = mask[max(0, i - scale): min(i + scale + 1, h - 1),
+                              max(0, j - scale): min(j + scale + 1, w - 1)]
+                    out[i, j] = np.argmax(np.bincount(sq.reshape(-1)))
+            return out
+
+        np.testing.assert_array_equal(E.majority_smooth(m), ref_smooth(m))
+
+
+class TestAdaptiveThresh:
+    def test_adaptive_moves_threshold(self, rng):
+        """adaptive_thresh=(mean-1)*alpha+1 (eval/eval.py:226-239): with a
+        high-relevancy map the adaptive cut rises above the fixed 0.4 and
+        shrinks the predicted mask."""
+        d = 8
+        pos = rng.normal(size=(1, d)).astype(np.float32)
+        neg = rng.normal(size=(4, d)).astype(np.float32)
+        h = w = 32
+        sem = np.tile(pos[0] / np.linalg.norm(pos[0]), (1, h, w, 1)).astype(
+            np.float32)
+        gt = {"p": np.ones((h, w), np.uint8)}
+        _, _, per_fixed, mask_fixed, _ = E.activate_stream(
+            sem, ["p"], pos, neg, gt, thresh=0.4, scale=29)
+        _, _, per_adap, mask_adap, _ = E.activate_stream(
+            sem, ["p"], pos, neg, gt, thresh=0.4, scale=29,
+            adaptive_thresh=True, adaptive_alpha=0.9)
+        # recorded thresholds: fixed run keeps 0.4 everywhere; adaptive run
+        # records 0.4 for level 0 then the updated value for later levels
+        assert per_fixed["p"][3] == [0.4]
+        thr_adap = per_adap["p"][3]
+        assert thr_adap[0] == 0.4
+        assert mask_adap["p"].sum() <= mask_fixed["p"].sum()
+
+    def test_visualization_outputs(self, tmp_path, rng):
+        d = 8
+        pos = rng.normal(size=(2, d)).astype(np.float32)
+        neg = rng.normal(size=(4, d)).astype(np.float32)
+        h = w = 24
+        sem = rng.normal(size=(2, h, w, d)).astype(np.float32)
+        gt = {"a": np.ones((h, w), np.uint8),
+              "b": np.zeros((h, w), np.uint8)}
+        img = rng.uniform(size=(h, w, 3)).astype(np.float32)
+        E.activate_stream(sem, ["a", "b"], pos, neg, gt, thresh=0.4, scale=29,
+                          image=img, image_name=tmp_path / "00001",
+                          visualize_results=True)
+        base = tmp_path / "00001"
+        for sub in ("heatmap/a_0", "heatmap/b_1", "composited/a_0",
+                    "background/a_0", "annotation/b_0"):
+            assert (base / f"{sub}.png").exists(), sub
+        assert (base / "chosen_a.png").exists()
+        assert (base / "chosen_for_video_b.png").exists()
+
+    def test_plot_helpers(self, tmp_path):
+        E.save_similarity_plot([(0, 0.5, 0.1), (1, 0.7, 0.2)],
+                               str(tmp_path / "sim.png"), 0.6)
+        E.plot_confusion_matrix([True, False, True], [True, True, False],
+                                [False, True], "t", str(tmp_path))
+        assert (tmp_path / "sim.png").exists()
+        assert (tmp_path / "t_Confusion_matrix.png").exists()
+
+
 class TestVideoMetrics:
     def test_evaluate_video_feature(self):
         sims = [(0, 0.9, 0.8), (1, 0.2, 0.5), (2, 0.8, 0.6), (3, 0.1, 0.4)]
