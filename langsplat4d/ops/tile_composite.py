@@ -48,9 +48,9 @@ def _cumprod_sublanes(a: jnp.ndarray, g: int) -> jnp.ndarray:
     return out
 
 
-def _composite_kernel(rows_ref, origin_ref, basis_ref, bg_ref, out_ref,
-                      *, tb: int, k: int, g: int, px: int, c_feat: int,
-                      hard_cutoffs: bool):
+def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
+                      out_ref, *, tb: int, k: int, g: int, px: int,
+                      c_feat: int, hard_cutoffs: bool):
     c_out = c_feat + 1
     basis = basis_ref[:]                 # [8, px] ([1,x,y,x2,y2,xy,0,0])
     for t in range(tb):
@@ -112,7 +112,11 @@ def _composite_kernel(rows_ref, origin_ref, basis_ref, bg_ref, out_ref,
             accum = accum + jnp.concatenate([contrib, alpha_sum], axis=0)
             return T_new, accum
 
-        num_chunks = k // g
+        # occupancy-aware dispatch: only ceil(count/g) chunks hold valid
+        # entries (lists are front-compacted), so the loop bound is dynamic
+        # per tile — low-occupancy tiles skip the invalid tail entirely
+        # (bench median occupancy is ~14% of K).
+        num_chunks = (counts_ref[t, 0] + g - 1) // g
         if hard_cutoffs:
             # early termination at tile granularity: stop once every pixel
             # is saturated (the CUDA per-pixel early-out upper bound)
@@ -145,13 +149,22 @@ def composite_tiles_pallas(
     tb: int = 4,
     g: int = 128,
     hard_cutoffs: bool = True,
+    counts: jnp.ndarray | None = None,  # [T] valid entries per tile
 ) -> jnp.ndarray:
-    """-> [T, c_feat + 1, px] composited channels (+ alpha), bg-blended RGB."""
+    """-> [T, c_feat + 1, px] composited channels (+ alpha), bg-blended RGB.
+
+    `counts` bounds each tile's chunk walk (occupancy-aware dispatch);
+    omitted -> every tile walks all K slots (invalid slots carry -inf ln_op,
+    so results are identical either way).
+    """
     t_total, pw, k = rows.shape
     c_feat = pw - HDR
     px = tile_size * tile_size
     assert t_total % tb == 0, (t_total, tb)
     assert k % g == 0
+    if counts is None:
+        counts = jnp.full((t_total,), k, jnp.int32)
+    counts = counts.astype(jnp.int32)
 
     lx = jnp.tile(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
     ly = jnp.repeat(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
@@ -179,6 +192,8 @@ def composite_tiles_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((HDR, px), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c_out, px), lambda i: (0, 0),
@@ -187,7 +202,7 @@ def composite_tiles_pallas(
         out_specs=pl.BlockSpec((tb, c_out, px), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_total, c_out, px), jnp.float32),
-    )(rows, origins, basis, bg_rows)
+    )(rows, origins, counts[:, None], basis, bg_rows)
 
 
 def pack_rows(prep, entries, valid, features) -> Tuple[jnp.ndarray, int]:

@@ -682,13 +682,15 @@ def _composite_pallas(settings: RasterSettings, prep, entries, valid,
     ts = settings.tile_size
     tb = settings.pallas_tile_block
     rows, c_feat = pack_rows(prep, entries, valid, features)
+    counts = valid.sum(axis=1, dtype=jnp.int32)
     pad = (-settings.num_tiles) % tb
     if pad:
         rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, (0, pad))
     out = composite_tiles_pallas(
         rows, bg, tiles_x=settings.tiles_x, tile_size=ts, tb=tb,
         g=min(settings.composite_chunk, settings.tile_capacity),
-        hard_cutoffs=settings.hard_cutoffs)
+        hard_cutoffs=settings.hard_cutoffs, counts=counts)
     c_out = c_feat + 1
     out = out[: settings.num_tiles]
     img = out.reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)

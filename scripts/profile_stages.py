@@ -37,7 +37,11 @@ def bench_scene():
     lang = rng.normal(size=(cap, lang_dim)).astype(np.float32)
     gs = gs.replace(scaling=jnp.asarray(scaling),
                     language_feature=jnp.asarray(lang))
-    dcfg = DeformConfig(lang_dim=lang_dim, no_dlang=False)
+    # Neu3D flagship preset — keep in sync with bench.py
+    dcfg = DeformConfig(
+        lang_dim=lang_dim, no_dlang=False, kplanes_out_dim=16,
+        kplanes_resolution=(64, 64, 64, 150), multires=(1, 2), net_width=128,
+        defor_depth=0, no_do=False, no_dshs=False, no_ds=False)
     dparams = init_deform_params(jax.random.PRNGKey(0), dcfg)
     aabb = jnp.asarray([[1.6] * 3, [-1.6] * 3], jnp.float32)
     Rm = np.eye(3)
@@ -91,13 +95,17 @@ def main():
 
     # --- deformation ---
     import dataclasses
+    from langsplat4d.field.deformation import make_grid_spatial_cache
     sd = dataclasses.replace(dcfg, use_discrete_lang_f=False)
+    grid_spatial = jax.jit(make_grid_spatial_cache, static_argnums=(1,))(
+        dparams, sd, aabb, gs.xyz)
 
     @jax.jit
     def f_deform(t, xyz):
         return deform_forward(dparams, sd, aabb, xyz, gs.scaling,
                               gs.rotation, gs.opacity, shs,
-                              safe_normalize(gs.language_feature), t)
+                              safe_normalize(gs.language_feature), t,
+                              grid_spatial=grid_spatial)
 
     if "deform" in which:
         timeit("deform", f_deform,
@@ -146,16 +154,18 @@ def main():
     def f_pack(colors):
         p = dict(prep, colors=colors)
         rows, _ = pack_rows(p, entries, valid, dlang)
+        counts = valid.sum(axis=1, dtype=jnp.int32)
         tb = settings.pallas_tile_block
         pad = (-settings.num_tiles) % tb
         if pad:
             rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0)))
-        return rows
+            counts = jnp.pad(counts, (0, pad))
+        return rows, counts
 
     if "pack" in which:
         timeit("pack_rows", f_pack, lambda i: (prep["colors"] + i * 1e-6,))
 
-    rows = jax.block_until_ready(f_pack(prep["colors"]))
+    rows, counts = jax.block_until_ready(f_pack(prep["colors"]))
     bg = jnp.zeros(3)
 
     @jax.jit
@@ -164,7 +174,7 @@ def main():
             rows, bg, tiles_x=settings.tiles_x, tile_size=settings.tile_size,
             tb=settings.pallas_tile_block,
             g=min(settings.composite_chunk, settings.tile_capacity),
-            hard_cutoffs=True)
+            hard_cutoffs=True, counts=counts)
 
     if "composite" in which:
         timeit("composite(pallas)", f_comp, lambda i: (rows + i * 1e-6,))
@@ -175,7 +185,7 @@ def main():
         @jax.jit
         def f_frame(t):
             out = render(settings, dcfg, "fine-lang", cam, t, gs, dparams,
-                         aabb, bg)
+                         aabb, bg, grid_spatial=grid_spatial)
             return out["render"], out["language_feature_image"]
 
         timeit("full frame", f_frame,
