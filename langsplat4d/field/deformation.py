@@ -145,7 +145,9 @@ def init_deform_params(key, cfg: DeformConfig) -> Dict[str, Any]:
     if cfg.static_mlp:
         params["static_mlp"] = mlp_init(keys[10], [W, W, 1])
     if cfg.empty_voxel:
-        params["empty_voxel"] = jnp.zeros((1, 64, 64, 64), jnp.float32)
+        # DenseGrid(channels=1, world_size=[64,64,64]), ones-initialized
+        # (scene/deformation.py:30-31, scene/grid.py:24)
+        params["empty_voxel"] = hp.init_dense_grid(1, (64, 64, 64))
     return params
 
 
@@ -198,8 +200,10 @@ def deform_forward(
     if cfg.static_mlp:
         mask = mlp_apply(params["static_mlp"], hidden, pre_relu=True)
     elif cfg.empty_voxel:
-        raise NotImplementedError("empty_voxel gate is not supported; the "
-                                  "reference default disables it")
+        # DenseGrid occupancy gate (scene/deformation.py:107-112): trilinear
+        # sample of the learnable 64^3 ones-initialized grid at xyz scales the
+        # base values in each deform head.
+        mask = hp.dense_grid_query(params["empty_voxel"], aabb, xyz)
     else:
         mask = jnp.ones_like(opacity[:, :1])
 

@@ -63,6 +63,63 @@ def default_aabb(bounds: float) -> jnp.ndarray:
     return jnp.asarray([[bounds] * 3, [-bounds] * 3], jnp.float32)
 
 
+def init_dense_grid(channels: int = 1, world_size=(64, 64, 64)) -> jnp.ndarray:
+    """DenseGrid parameter (reference scene/grid.py:15-24): ones-initialized
+    [C, Nx, Ny, Nz] occupancy grid (the torch [1, C, *world_size] with the
+    batch dim dropped)."""
+    return jnp.ones((channels, *world_size), jnp.float32)
+
+
+def dense_grid_query(grid: jnp.ndarray, aabb: jnp.ndarray,
+                     pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear DenseGrid sample (reference scene/grid.py:26-37).
+
+    Matches `F.grid_sample(grid, ind_norm.flip(-1), bilinear,
+    align_corners=True)` semantics: the coordinate flip in the reference makes
+    world x index the grid's leading spatial axis, and the default
+    padding_mode='zeros' means out-of-AABB corners contribute 0.
+
+    grid: [C, Nx, Ny, Nz]; pts: [n, 3] world coords. Returns [n, C].
+    """
+    xyz_max, xyz_min = aabb[0], aabb[1]
+    u = (pts - xyz_min) / (xyz_max - xyz_min)  # [n,3] in [0,1] inside aabb
+    c, nx, ny, nz = grid.shape
+    sizes = jnp.asarray([nx, ny, nz], jnp.float32)
+    # align_corners=True: norm in [-1,1] maps linearly onto [0, N-1]
+    f = u * (sizes - 1.0)
+    f0 = jnp.floor(f)
+    w1 = f - f0
+    w0 = 1.0 - w1
+    i0 = f0.astype(jnp.int32)
+    i1 = i0 + 1
+    flat = grid.reshape(c, -1)
+
+    def corner(ix, iy, iz, w):
+        inb = ((ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+               & (iz >= 0) & (iz < nz))
+        idx = (jnp.clip(ix, 0, nx - 1) * ny * nz
+               + jnp.clip(iy, 0, ny - 1) * nz + jnp.clip(iz, 0, nz - 1))
+        vals = flat[:, idx]                       # [C, n]
+        return jnp.where(inb[None, :], vals, 0.0) * w[None, :]
+
+    out = (corner(i0[:, 0], i0[:, 1], i0[:, 2], w0[:, 0] * w0[:, 1] * w0[:, 2])
+           + corner(i1[:, 0], i0[:, 1], i0[:, 2],
+                    w1[:, 0] * w0[:, 1] * w0[:, 2])
+           + corner(i0[:, 0], i1[:, 1], i0[:, 2],
+                    w0[:, 0] * w1[:, 1] * w0[:, 2])
+           + corner(i1[:, 0], i1[:, 1], i0[:, 2],
+                    w1[:, 0] * w1[:, 1] * w0[:, 2])
+           + corner(i0[:, 0], i0[:, 1], i1[:, 2],
+                    w0[:, 0] * w0[:, 1] * w1[:, 2])
+           + corner(i1[:, 0], i0[:, 1], i1[:, 2],
+                    w1[:, 0] * w0[:, 1] * w1[:, 2])
+           + corner(i0[:, 0], i1[:, 1], i1[:, 2],
+                    w0[:, 0] * w1[:, 1] * w1[:, 2])
+           + corner(i1[:, 0], i1[:, 1], i1[:, 2],
+                    w1[:, 0] * w1[:, 1] * w1[:, 2]))
+    return out.T                                   # [n, C]
+
+
 def normalize_aabb(pts: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
     return (pts - aabb[0]) * (2.0 / (aabb[1] - aabb[0])) - 1.0
 

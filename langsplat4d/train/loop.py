@@ -148,6 +148,107 @@ def load_checkpoint(path: str) -> TrainState:
     ), payload
 
 
+def _image2save(arr: np.ndarray, mode: str):
+    """[C,H,W] float array -> PIL image; lang maps are rescaled (x+1)/2 and
+    PCA-compressed to 3 channels when wider (reference image2save,
+    train.py:74-96)."""
+    from PIL import Image
+    if mode == "lang":
+        arr = (arr + 1.0) / 2.0
+        if arr.shape[0] > 3:
+            from sklearn.decomposition import PCA
+            fmap = arr.transpose(1, 2, 0)
+            h, w, c = fmap.shape
+            flat = PCA(n_components=3).fit_transform(fmap.reshape(-1, c))
+            fmap = flat.reshape(h, w, 3)
+            fmap = (fmap - fmap.min()) / (fmap.max() - fmap.min() + 1e-12)
+            return Image.fromarray((fmap * 255).astype(np.uint8))
+    img = np.clip(arr[:3].transpose(1, 2, 0), 0, 1)
+    return Image.fromarray((img * 255).astype(np.uint8))
+
+
+def _debug_image_dump(model_path: str, stage: str, iteration: int,
+                      render_img, gt_img, lang_img, gt_lang_img) -> None:
+    """rgb|gt|lang|gt_lang horizontal grid every log interval
+    (reference train.py:314-327, saved under training_output_img/)."""
+    from PIL import Image
+    images = [_image2save(np.asarray(render_img), "rgb"),
+              _image2save(np.asarray(gt_img), "rgb"),
+              _image2save(np.asarray(lang_img), "lang"),
+              _image2save(np.asarray(gt_lang_img), "lang")]
+    total_w = sum(im.size[0] for im in images)
+    total_h = max(im.size[1] for im in images)
+    grid = Image.new("RGB", (total_w, total_h))
+    x = 0
+    for im in images:
+        grid.paste(im, (x, 0))
+        x += im.size[0]
+    save_dir = os.path.join(model_path, "training_output_img")
+    os.makedirs(save_dir, exist_ok=True)
+    grid.save(os.path.join(save_dir, f"output_{stage}_{iteration}.png"))
+
+
+def _gui_poll(cfg: Config, scene: Scene, state: TrainState,
+              step_cfg: StepConfig, stage: str, iteration: int,
+              final_iter: int, bg, gui_ctx: dict) -> None:
+    """Viewer-bridge polling, one drain per training iteration (reference
+    train.py:166-191): accept a pending connection, render the requested
+    custom camera at the cycled video-camera time, stream raw RGB bytes back.
+    No-op (one failed non-blocking accept) when no viewer is attached."""
+    from langsplat4d.utils import network_gui
+    if network_gui.listener is None:
+        return
+    if network_gui.conn is None:
+        network_gui.try_connect()
+    import dataclasses as _dc
+    from langsplat4d.render.pipeline import render
+    from langsplat4d.render.raster import CameraParams
+    while network_gui.conn is not None:
+        try:
+            net_image_bytes = None
+            (custom_cam, do_training, _shs_py, _cov_py, keep_alive,
+             scaling_mod) = network_gui.receive()
+            if custom_cam is not None:
+                if "video_cams" not in gui_ctx:
+                    gui_ctx["video_cams"] = list(scene.getVideoCameras())
+                video_cams = gui_ctx["video_cams"]
+                gui_ctx["count"] = count = gui_ctx.get("count", 0) + 1
+                t = 0.0
+                if video_cams:
+                    vi = count % len(video_cams)
+                    if (count // len(video_cams)) % 2 != 0:
+                        vi = len(video_cams) - vi - 1
+                    t = float(video_cams[vi].time)
+                camp = CameraParams(
+                    viewmatrix=jnp.asarray(custom_cam.world_view_transform,
+                                           jnp.float32),
+                    projmatrix=jnp.asarray(custom_cam.full_proj_transform,
+                                           jnp.float32),
+                    campos=jnp.asarray(
+                        custom_cam.camera_center.astype(np.float32)),
+                    tanfovx=jnp.asarray(np.tan(custom_cam.fovx * 0.5),
+                                        jnp.float32),
+                    tanfovy=jnp.asarray(np.tan(custom_cam.fovy * 0.5),
+                                        jnp.float32))
+                settings = _dc.replace(
+                    step_cfg.settings, image_height=custom_cam.height,
+                    image_width=custom_cam.width,
+                    sh_degree=int(state.active_sh_degree))
+                out = render(settings, step_cfg.dcfg, stage, camp,
+                             jnp.asarray(t, jnp.float32), state.gaussians(),
+                             state.params["deform"], state.aabb, bg,
+                             scaling_modifier=float(scaling_mod or 1.0),
+                             nonormalized=step_cfg.nonormalized)
+                img = np.asarray(jnp.clip(out["render"], 0.0, 1.0))
+                net_image_bytes = memoryview(
+                    (img * 255).astype(np.uint8).transpose(1, 2, 0).copy())
+            network_gui.send(net_image_bytes, cfg.model.source_path or "")
+            if do_training and (iteration < final_iter or not keep_alive):
+                break
+        except Exception:
+            network_gui.conn = None
+
+
 def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                          dcfg: DeformConfig, stage: str, joint_train: bool,
                          train_iter: int, timer: Timer,
@@ -199,7 +300,10 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
 
     ema_loss = 0.0
     split = "train"
+    gui_ctx: dict = {}
     for iteration in range(1, train_iter + 1):
+        _gui_poll(cfg, scene, state, step_cfg, stage, iteration, train_iter,
+                  bg, gui_ctx)
         if iteration % 1000 == 0:
             from langsplat4d.train.trainstate import one_up_sh_degree
             state = one_up_sh_degree(state, cfg.model.sh_degree)
@@ -241,6 +345,20 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
             logger.info(
                 f"[{stage}] iter {iteration}/{train_iter} "
                 f"loss {ema_loss:.6f} points {int(state.num_active)}")
+            # rgb|gt|lang|gt_lang debug grid (train.py:314-327); one extra
+            # eval forward at log cadence — the jitted train step does not
+            # materialize images to host.
+            if cfg.model.model_path:
+                from langsplat4d.train.step import eval_step
+                out = eval_step(step_cfg, state, cams[0].camera_params(),
+                                jnp.asarray(cams[0].time), bg,
+                                state.active_sh_degree)
+                lang = out.get("language_feature_image")
+                if lang is None or lang.shape[0] == 0:
+                    lang = jnp.zeros_like(batch.gt_lang[0])
+                _debug_image_dump(cfg.model.model_path, stage, iteration,
+                                  out["render"], batch.gt_images[0],
+                                  lang, batch.gt_lang[0])
         if iteration % 10 == 0:
             telemetry.scalars(
                 {f"{stage}/train_loss_patches/l1_loss": loss,

@@ -72,3 +72,11 @@ def ssim(img1, img2, window_size: int = 11):
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))
     return jnp.mean(ssim_map)
+
+
+def lpips_loss(img1, img2, lpips_model):
+    """Perceptual loss wrapper (reference utils/loss_utils.py:17-19 — note
+    the reference imports but never calls it in the training loop; the model
+    is caller-supplied there too). `lpips_model` is any callable returning
+    per-image distances; mean-reduced."""
+    return jnp.mean(lpips_model(img1, img2))

@@ -158,3 +158,68 @@ def test_discrete_stage_resume(tiny_cfg, trained):
     # language features expanded to centers_num * lang_dim columns
     assert state.params["language_feature"].shape[1] == 9
     assert np.isfinite(np.asarray(state.params["language_feature"])).all()
+
+
+@pytest.mark.slow
+def test_gui_bridge_receives_frames(tiny_cfg, trained):
+    """A viewer client on the TCP bridge receives a rendered frame during
+    training polling (reference train.py:166-191 + network_gui.py:26-85)."""
+    import json
+    import socket
+    import struct
+    import jax.numpy as jnp
+    from langsplat4d.data.scene import Scene
+    from langsplat4d.field.deformation import DeformConfig
+    from langsplat4d.render.raster import RasterSettings
+    from langsplat4d.train.loop import _gui_poll
+    from langsplat4d.train.optim import LRConfig
+    from langsplat4d.train.step import StepConfig
+    from langsplat4d.utils import network_gui
+
+    scene = Scene(tiny_cfg.model.source_path,
+                  model_path=tiny_cfg.model.model_path)
+    dcfg = DeformConfig.from_config(tiny_cfg.hidden, tiny_cfg.runtime,
+                                    max_sh_degree=tiny_cfg.model.sh_degree)
+    settings = RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                              lang_dim=3, include_feature=False,
+                              tile_capacity=256)
+    step_cfg = StepConfig(settings=settings, dcfg=dcfg,
+                          lr_cfg=LRConfig.from_optim(tiny_cfg.optim, 1.0),
+                          stage="coarse-base")
+    bg = jnp.zeros(3)
+
+    w = h = 32
+    msg = {
+        "resolution_x": w, "resolution_y": h, "train": True,
+        "fov_y": 0.8, "fov_x": 1.0, "z_near": 0.01, "z_far": 100.0,
+        "shs_python": False, "rot_scale_python": False, "keep_alive": True,
+        "scaling_modifier": 1.0,
+        "view_matrix": np.eye(4, dtype=np.float32).reshape(-1).tolist(),
+        "view_projection_matrix":
+            np.eye(4, dtype=np.float32).reshape(-1).tolist(),
+    }
+    payload = json.dumps(msg).encode("utf-8")
+
+    client, server = socket.socketpair()
+    old = (network_gui.listener, network_gui.conn)
+    network_gui.listener, network_gui.conn = object(), server
+    try:
+        client.sendall(struct.pack("<I", len(payload)) + payload)
+        _gui_poll(tiny_cfg, scene, trained, step_cfg, "coarse-base",
+                  iteration=1, final_iter=10, bg=bg, gui_ctx={})
+        client.settimeout(5)
+        buf = b""
+        want = w * h * 3 + 4 + len(tiny_cfg.model.source_path)
+        while len(buf) < want:
+            chunk = client.recv(65536)
+            assert chunk, "connection closed before full frame"
+            buf += chunk
+        frame = np.frombuffer(buf[: w * h * 3], np.uint8)
+        assert frame.shape[0] == w * h * 3
+        (slen,) = struct.unpack("<I", buf[w * h * 3: w * h * 3 + 4])
+        assert buf[w * h * 3 + 4:].decode("ascii") == \
+            tiny_cfg.model.source_path[:slen]
+    finally:
+        network_gui.listener, network_gui.conn = old
+        client.close()
+        server.close()

@@ -166,6 +166,45 @@ class TestDeformation:
         out = deform_forward(params, cfg, aabb, **io)
         assert out[0].shape == io["xyz"].shape
 
+    def test_empty_voxel_gate(self, rng):
+        """empty_voxel ablation (scene/deformation.py:30-33,107-112): the
+        DenseGrid mask scales base values; with the ones-initialized grid and
+        in-AABB points the mask is exactly 1, matching the default gate."""
+        cfg0 = DeformConfig(net_width=16, posebase_pe=2, kplanes_out_dim=4,
+                            kplanes_resolution=(8, 8, 8, 4), multires=(1,),
+                            lang_dim=3, empty_voxel=True)
+        cfg, params, aabb, io = self.setup_io(rng, cfg=cfg0)
+        assert params["empty_voxel"].shape == (1, 64, 64, 64)
+        out = deform_forward(params, cfg, aabb, **io)
+        base_cfg = DeformConfig(**{**cfg.__dict__, "empty_voxel": False})
+        base_params = dict(params)
+        base_params.pop("empty_voxel")
+        ref = deform_forward(base_params, base_cfg, aabb, **io)
+        for a, b in zip(out[:-1], ref[:-1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_dense_grid_matches_torch_grid_sample(self, rng):
+        """dense_grid_query == reference DenseGrid.forward
+        (scene/grid.py:26-37): flipped-coord trilinear grid_sample with
+        align_corners=True and zeros padding, including out-of-AABB points."""
+        import torch
+        import torch.nn.functional as F
+        from langsplat4d.field.hexplane import dense_grid_query
+        grid = rng.normal(size=(2, 5, 6, 7)).astype(np.float32)
+        aabb = np.array([[1.6, 1.5, 1.4], [-1.6, -1.5, -1.4]], np.float32)
+        pts = rng.uniform(-2.0, 2.0, size=(50, 3)).astype(np.float32)
+        ours = np.asarray(dense_grid_query(jnp.asarray(grid),
+                                           jnp.asarray(aabb),
+                                           jnp.asarray(pts)))
+        tg = torch.from_numpy(grid)[None]
+        xyz = torch.from_numpy(pts).reshape(1, 1, 1, -1, 3)
+        ind = ((xyz - torch.from_numpy(aabb[1]))
+               / torch.from_numpy(aabb[0] - aabb[1])).flip((-1,)) * 2 - 1
+        ref = F.grid_sample(tg, ind, mode="bilinear", align_corners=True)
+        ref = ref.reshape(2, -1).T.numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
     def test_poc_fre_matches_torch_layout(self, rng):
         import torch
         x = rng.normal(size=(5, 3)).astype(np.float32)

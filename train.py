@@ -40,6 +40,16 @@ def main(argv=None):
     logger.info(f"Optimizing {cfg.model.model_path}")
 
     safe_state(seed=cfg.extras.seed)
+    # Start the viewer bridge (reference train.py:614); --port -1 disables.
+    if cfg.extras.port >= 0:
+        from langsplat4d.utils import network_gui
+        try:
+            network_gui.init(cfg.extras.ip, cfg.extras.port)
+            logger.info(f"GUI server listening on "
+                        f"{cfg.extras.ip}:{cfg.extras.port}")
+        except OSError as e:
+            logger.warning(f"GUI server unavailable ({e}); training without "
+                           "viewer bridge.")
     if cfg.extras.detect_anomaly:
         # torch.autograd.set_detect_anomaly equivalent (train.py:615)
         from langsplat4d.utils.profiling import enable_nan_debug
