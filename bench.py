@@ -93,12 +93,89 @@ def main():
     dt = time.time() - t0
     fps = frames / dt
 
+    train_it_per_s = _bench_train_step()
+
     print(json.dumps({
         "metric": "render_fps_neu3d_scale",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "train_it_per_s_hypernerf_scale": round(train_it_per_s, 2),
     }))
+
+
+def _bench_train_step():
+    """Training throughput: fine-lang train_step (fwd + analytic-VJP bwd +
+    Adam) at HyperNeRF scale — 536x960, ~100k Gaussians, batch 1 (the PERF.md
+    'Training throughput' workload, made driver-visible). Steps are chained
+    on device with one sync at the end (PERF.md sync-latency pitfall)."""
+    import jax
+    import jax.numpy as jnp
+    from langsplat4d.core import state as statelib
+    from langsplat4d.core.transforms import projection_matrix, world_to_view
+    from langsplat4d.field.deformation import DeformConfig, init_deform_params
+    from langsplat4d.render.raster import CameraParams, RasterSettings
+    from langsplat4d.train.optim import LRConfig
+    from langsplat4d.train.step import Batch, StepConfig, train_step
+    from langsplat4d.train.trainstate import make_train_state
+    from langsplat4d.config import OptimizationConfig
+
+    H, W = 536, 960
+    n = int(os.getenv("BENCH_TRAIN_N", 100_000))
+    lang_dim = 3
+    steps = int(os.getenv("BENCH_TRAIN_STEPS", 30))
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-1.2, 1.2, size=(n, 3)).astype(np.float32)
+    cols = rng.uniform(size=(n, 3)).astype(np.float32)
+    cap = statelib.round_capacity(n)
+    gs = statelib.create_from_pcd(pts, cols, max_sh_degree=3,
+                                  lang_dim=lang_dim, capacity=cap)
+    gs = gs.replace(
+        scaling=jnp.full((cap, 3), np.log(0.01), jnp.float32),
+        language_feature=jnp.asarray(
+            rng.normal(size=(cap, lang_dim)).astype(np.float32)))
+    dcfg = DeformConfig(
+        lang_dim=lang_dim, no_dlang=False, kplanes_out_dim=16,
+        kplanes_resolution=(64, 64, 64, 150), multires=(1, 2), net_width=128,
+        defor_depth=0, no_do=False, no_dshs=False, no_ds=False)
+    dparams = init_deform_params(jax.random.PRNGKey(1), dcfg)
+    aabb = jnp.asarray([[1.6] * 3, [-1.6] * 3], jnp.float32)
+    state = make_train_state(gs, dparams, aabb, active_sh_degree=3)
+
+    Rm = np.eye(3)
+    T = np.array([0.0, 0.0, 4.0])
+    wv = world_to_view(Rm, T).T
+    proj = projection_matrix(0.01, 100.0, 1.0, 0.8).T
+    cam = CameraParams(
+        viewmatrix=jnp.asarray(wv)[None], projmatrix=jnp.asarray(wv @ proj)[None],
+        campos=jnp.asarray(np.linalg.inv(wv)[3, :3])[None],
+        tanfovx=jnp.asarray([np.tan(0.5)], jnp.float32),
+        tanfovy=jnp.asarray([np.tan(0.4)], jnp.float32))
+    batch = Batch(
+        cams=cam, times=jnp.asarray([0.3], jnp.float32),
+        gt_images=jnp.asarray(rng.uniform(size=(1, 3, H, W)), jnp.float32),
+        gt_lang=jnp.asarray(rng.normal(size=(1, lang_dim, H, W)), jnp.float32),
+        lang_mask=jnp.ones((1, 1, H, W), jnp.float32))
+
+    settings = RasterSettings(
+        image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
+        include_feature=True, tile_capacity=512)
+    step_cfg = StepConfig(
+        settings=settings, dcfg=dcfg,
+        lr_cfg=LRConfig.from_optim(OptimizationConfig(), 1.0),
+        stage="fine-lang", no_dlang=False)
+    bg = jnp.zeros(3)
+
+    state, *_ = train_step(step_cfg, state, batch, bg,
+                           jnp.asarray(1, jnp.int32), 3)
+    jax.block_until_ready(state.params["xyz"])
+    t0 = time.time()
+    for i in range(steps):
+        state, *_ = train_step(step_cfg, state, batch, bg,
+                               jnp.asarray(i + 2, jnp.int32), 3)
+    jax.block_until_ready(state.params["xyz"])
+    return steps / (time.time() - t0)
 
 
 if __name__ == "__main__":

@@ -229,6 +229,174 @@ def pack_rows(prep, entries, valid, features) -> Tuple[jnp.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# Stream compositing: each tile walks its contiguous (tile, depth)-sorted
+# segment of the global duplicate stream (render/stream.py) via dynamic-offset
+# DMA — the ragged-segment consumer of the CUDA-style duplicate+sort binning.
+# No per-tile padded lists exist at all: work scales with actual
+# (Gaussian, tile) pairs.
+# ---------------------------------------------------------------------------
+
+def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
+                   buf, sem, *, tb: int, g: int, px: int, c_feat: int,
+                   tiles_x: int, tile_size: int, hard_cutoffs: bool):
+    c_out = c_feat + 1
+    basis = basis_ref[:]                        # [8, px]
+    blk = pl.program_id(0)
+    t0 = blk * tb
+    for t in range(tb):
+        tile = t0 + t
+        s_t = starts_ref[tile]
+        e_t = starts_ref[tile + 1]
+        s0 = (s_t // g) * g                     # g-aligned DMA base
+        ox = ((tile % tiles_x) * tile_size).astype(jnp.float32)
+        oy = ((tile // tiles_x) * tile_size).astype(jnp.float32)
+
+        def chunk_body(ci, carry):
+            T, accum = carry
+            base = s0 + ci * g
+            dma = pltpu.make_async_copy(
+                rows_hbm.at[:, pl.ds(base, g)], buf, sem)
+            dma.start()
+            dma.wait()
+            rows = buf[:]                       # [PW, g]
+            # segment mask: stream positions outside [s_t, e_t) belong to
+            # neighbouring tiles (alignment slack) — kill via ln_op
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + base
+            inseg = (lane >= s_t) & (lane < e_t)
+            mx = rows[0:1, :] - ox
+            my = rows[1:2, :] - oy
+            c0 = rows[2:3, :]
+            c1 = rows[3:4, :]
+            c2 = rows[4:5, :]
+            ln_op = jnp.where(inseg, rows[5:6, :], -1e30)
+            ft = rows[HDR:HDR + c_feat, :]      # [c_feat, g]
+
+            coef = jnp.concatenate([
+                -0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my,
+                c0 * mx + c1 * my,
+                c2 * my + c1 * mx,
+                -0.5 * c0,
+                -0.5 * c2,
+                -c1,
+                jnp.zeros((2, g), jnp.float32),
+            ], axis=0)                          # [8, g]
+            power = jax.lax.dot_general(
+                coef, basis, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [g, px]
+            alpha = jnp.exp(power + ln_op.reshape(g, 1))
+            alpha = jnp.minimum(MAX_ALPHA, alpha)
+            kill = power > 0.0
+            if hard_cutoffs:
+                kill = kill | (alpha < ALPHA_MIN)
+            alpha = jnp.where(kill, 0.0, alpha)
+
+            cum = _cumprod_sublanes(1.0 - alpha, g)
+            t_after = T * cum
+            t_before = T * jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
+                pltpu.roll(cum, 1, 0), 1.0)
+            if hard_cutoffs:
+                include = t_after >= T_EPS
+                weights = jnp.where(include, alpha * t_before, 0.0)
+                t_masked = jnp.where(include, t_after, jnp.inf)
+                T_new = jnp.min(t_masked, axis=0, keepdims=True)
+                T_new = jnp.where(jnp.isinf(T_new), T, T_new)
+            else:
+                weights = alpha * t_before
+                T_new = t_after[g - 1:g, :]
+
+            contrib = jax.lax.dot_general(
+                ft, weights, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            alpha_sum = jnp.sum(weights, axis=0, keepdims=True)
+            accum = accum + jnp.concatenate([contrib, alpha_sum], axis=0)
+            return T_new, accum
+
+        T0 = jnp.ones((1, px), jnp.float32)
+        acc0 = jnp.zeros((c_out, px), jnp.float32)
+        num_chunks = (e_t - s0 + g - 1) // g
+        if hard_cutoffs:
+            def loop_body(ci, carry):
+                T, accum = carry
+                return jax.lax.cond(jnp.max(T) >= T_EPS,
+                                    lambda c: chunk_body(ci, c),
+                                    lambda c: c, (T, accum))
+            T, accum = jax.lax.fori_loop(0, num_chunks, loop_body,
+                                         (T0, acc0))
+        else:
+            T, accum = jax.lax.fori_loop(0, num_chunks, chunk_body,
+                                         (T0, acc0))
+
+        out_ref[t, :, :] = accum + bg_ref[:] * T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "num_tiles", "tile_size", "tb", "g",
+                     "hard_cutoffs"))
+def composite_stream_pallas(
+    rows: jnp.ndarray,      # [PW, M] (tile,depth)-sorted stream
+    starts: jnp.ndarray,    # [T+1] segment starts
+    bg: jnp.ndarray,        # [3]
+    *,
+    tiles_x: int,
+    num_tiles: int,
+    tile_size: int = 16,
+    tb: int = 8,
+    g: int = 128,
+    hard_cutoffs: bool = True,
+) -> jnp.ndarray:
+    """-> [T_pad, c_out, px]; T_pad = ceil(T/tb)*tb."""
+    pw, m = rows.shape
+    c_feat = pw - HDR
+    c_out = c_feat + 1
+    px = tile_size * tile_size
+    t_pad = -(-num_tiles // tb) * tb
+
+    # margin so the last aligned chunk DMA never reads past the buffer
+    rows = jnp.pad(rows, ((0, 0), (0, g)))
+    starts_pad = jnp.pad(starts.astype(jnp.int32),
+                         (0, t_pad - num_tiles),
+                         constant_values=starts[num_tiles])
+
+    lx = jnp.tile(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    ly = jnp.repeat(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    basis = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, ly * ly, lx * ly,
+                       jnp.zeros_like(lx), jnp.zeros_like(lx)], axis=0)
+
+    n_blk = t_pad // tb
+    bg_rows = jnp.zeros((c_out, px), jnp.float32)
+    bg_rows = bg_rows.at[:3, :].set(bg[:, None])
+
+    kernel = functools.partial(
+        _stream_kernel, tb=tb, g=g, px=px, c_feat=c_feat, tiles_x=tiles_x,
+        tile_size=tile_size, hard_cutoffs=hard_cutoffs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),               # rows (HBM)
+            pl.BlockSpec((8, px), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),           # basis
+            pl.BlockSpec((c_out, px), lambda i, s: (0, 0),
+                         memory_space=pltpu.VMEM),           # bg rows
+        ],
+        out_specs=pl.BlockSpec((tb, c_out, px), lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pw, g), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, c_out, px), jnp.float32),
+    )(starts_pad, rows, basis, bg_rows)
+
+
+# ---------------------------------------------------------------------------
 # Cell-list compositing: each tile walks its cell's depth-ordered candidate
 # list with the tile-rect test fused into the kernel. Removes the per-tile
 # binning stage entirely (SURVEY §7 hard-part #1 without any compaction) and

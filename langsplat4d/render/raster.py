@@ -101,6 +101,17 @@ class RasterSettings:
     # with the rect cull fused (no capacity-K truncation). Implies
     # pallas_composite.
     pallas_cell_composite: bool = False
+    # Stream binning (render/stream.py): global duplicate+sort tile
+    # assignment with packed rows carried as sort payloads, composited by the
+    # ragged-segment Pallas kernel. Replaces bin_cells/bin_tiles/pack
+    # entirely; work scales with actual (Gaussian, tile) pairs. Tier
+    # capacities below bound the static emission shapes (stream_overflow
+    # reports any clipping).
+    stream_binning: bool = False
+    stream_t2_span: int = 4
+    stream_t2_count: int = 16384
+    stream_t3_span: int = 16
+    stream_t3_count: int = 512
     # Analytic custom-VJP compositing for training (hand-derived backward,
     # ~2x faster than autodiff through the scan; gradient-equality tested).
     analytic_vjp: bool = True
@@ -739,6 +750,30 @@ def _composite_cells(settings: RasterSettings, prep, features, bg):
     return img[:, : settings.image_height, : settings.image_width]
 
 
+def _composite_stream(settings: RasterSettings, prep, features, bg):
+    """Stream-binned Pallas compositing (render/stream.py + the
+    ragged-segment kernel): no per-tile lists, no pack gather."""
+    from langsplat4d.ops.tile_composite import composite_stream_pallas
+    from langsplat4d.render.stream import build_stream
+    ts = settings.tile_size
+    rows, starts, _ = build_stream(
+        settings, prep, features,
+        t2_span=settings.stream_t2_span, t2_count=settings.stream_t2_count,
+        t3_span=settings.stream_t3_span, t3_count=settings.stream_t3_count)
+    out = composite_stream_pallas(
+        rows, starts, bg, tiles_x=settings.tiles_x,
+        num_tiles=settings.num_tiles, tile_size=ts,
+        tb=settings.pallas_tile_block,
+        g=min(settings.composite_chunk, 128),
+        hard_cutoffs=settings.hard_cutoffs)
+    c_out = out.shape[1]
+    out = out[: settings.num_tiles]
+    img = out.reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        c_out, settings.tiles_y * ts, settings.tiles_x * ts)
+    return img[:, : settings.image_height, : settings.image_width]
+
+
 def binning_saturation(settings: RasterSettings,
                        prep: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """Truncation diagnostics for the capacity-bounded binning levels (for
@@ -791,7 +826,9 @@ def rasterize(
                       rotations, shs, colors_precomp, cov3d_precomp, active)
     feats = language_features if settings.include_feature else (
         jnp.zeros((means3d.shape[0], 0), means3d.dtype))
-    if settings.pallas_cell_composite:
+    if settings.stream_binning:
+        img = _composite_stream(settings, prep, feats, bg)
+    elif settings.pallas_cell_composite:
         img = _composite_cells(settings, prep, feats, bg)
     else:
         entries, valid = bin_tiles(settings, prep)

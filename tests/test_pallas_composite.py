@@ -84,3 +84,43 @@ def test_cell_composite_matches_jnp(rng, hard_cutoffs):
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(fast[3]), np.asarray(ref[3]),
                                atol=3e-4)
+
+
+@pytest.mark.parametrize("hard_cutoffs", [True, False])
+def test_stream_path_matches_list_path(rng, hard_cutoffs):
+    """Stream binning (duplicate+sort, render/stream.py) + the
+    ragged-segment kernel == the capacity-list path, including Gaussians
+    large enough to exercise tiers 2 and 3."""
+    H = W = 64
+    cam = make_camera(H, W)
+    base = dict(sh_degree=0, lang_dim=3, include_feature=True,
+                tile_capacity=256, composite_chunk=32, bin_tile_chunk=8,
+                composite_tile_chunk=8, hard_cutoffs=hard_cutoffs)
+    settings = R.RasterSettings(H, W, **base)
+    n = 120
+    means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+    # a few big splats to push coverage into tiers 2/3
+    scales[:6] *= 12.0
+    scales[:2] *= 4.0
+    args = (jnp.zeros((n, 2)), jnp.asarray(opac), jnp.asarray(scales),
+            jnp.asarray(quats), None, jnp.asarray(colors),
+            jnp.asarray(lang), jnp.asarray([0.3, 0.6, 0.9]))
+
+    ref_set = R.RasterSettings(H, W, **base, analytic_vjp=False)
+    ref = R.rasterize(ref_set, cam, jnp.asarray(means), *args)
+
+    stream_set = R.RasterSettings(
+        H, W, **base, stream_binning=True, pallas_tile_block=4,
+        stream_t2_count=64, stream_t3_count=8)
+    out = R.rasterize(stream_set, cam, jnp.asarray(means), *args)
+
+    from langsplat4d.render.stream import stream_overflow
+    prep = R.preprocess(ref_set, cam, jnp.asarray(means), *args[:4], None,
+                        colors_precomp=jnp.asarray(colors))
+    ov = stream_overflow(stream_set, prep, t2_count=64, t3_count=8)
+    assert int(ov["t3_span_exceeded"]) == 0
+
+    for a, b, name in ((out[0], ref[0], "rgb"), (out[1], ref[1], "lang"),
+                       (out[3], ref[3], "depth")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                                   err_msg=name)

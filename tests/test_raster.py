@@ -363,6 +363,54 @@ class TestTwoLevelBinning:
         assert not valid[1:].any()          # other tiles uncovered
 
 
+class TestTruncationError:
+    def test_saturating_scene_psnr_bound(self, rng):
+        """Quantify capacity truncation: a dense scene rendered with
+        deliberately saturating band/cell/tile capacities vs the exact
+        full-capacity render. Truncation drops the FARTHEST Gaussians of each
+        list (selection is a front-to-back -depth top-k,
+        render/raster.py:bin_cells), whose transmittance-weighted
+        contribution is smallest — the image error must stay small even when
+        every list is full."""
+        from langsplat4d.train.losses import psnr
+        n = 600
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=n,
+                                                                spread=0.4)
+        # semi-transparent so the early-out doesn't hide the truncated tail
+        opac = np.full_like(opac, 0.35)
+        cam = make_camera()
+        args = (jnp.zeros((n, 2)), jnp.asarray(opac), jnp.asarray(scales),
+                jnp.asarray(quats), None, jnp.asarray(colors),
+                jnp.asarray(lang), jnp.zeros(3))
+
+        exact = R.RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                                 lang_dim=3, tile_capacity=1024,
+                                 bin_cell_tiles=2, cell_capacity=1024,
+                                 band_capacity=1024, tile_row_capacity=1024,
+                                 analytic_vjp=False)
+        trunc = R.RasterSettings(image_height=64, image_width=64, sh_degree=0,
+                                 lang_dim=3, tile_capacity=128,
+                                 bin_cell_tiles=2, cell_capacity=256,
+                                 band_capacity=384, tile_row_capacity=128,
+                                 analytic_vjp=False)
+        img_e, lang_e, _, _ = R.rasterize(exact, cam, jnp.asarray(means),
+                                          *args)
+        img_t, lang_t, _, _ = R.rasterize(trunc, cam, jnp.asarray(means),
+                                          *args)
+
+        # every binning level of the truncated config must actually saturate
+        prep = R.preprocess(trunc, cam, jnp.asarray(means), jnp.zeros((n, 2)),
+                            jnp.asarray(opac), jnp.asarray(scales),
+                            jnp.asarray(quats), None, jnp.asarray(colors))
+        sat = R.binning_saturation(trunc, prep)
+        assert float(sat["band_max_count"]) > trunc.band_capacity
+        assert float(sat["tile_full_frac"]) > 0.2
+
+        d = float(psnr(img_t, img_e))
+        assert d > 30.0, f"truncation PSNR {d:.1f} dB below bound"
+        assert float(jnp.abs(lang_t - lang_e).mean()) < 0.02
+
+
 class TestAnalyticVJP:
     """The analytic custom-VJP compositor must match the autodiff path in
     both the forward and all input gradients."""
