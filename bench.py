@@ -66,7 +66,8 @@ def main():
         image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
         include_feature=True,
         tile_capacity=int(os.getenv("BENCH_TILE_CAP", 512)),
-        pallas_composite=jax.default_backend() == "tpu")
+        # stream duplicate+sort binning (the shipped driver path on TPU)
+        stream_binning=jax.default_backend() == "tpu")
     bg = jnp.zeros(3)
 
     # Fixed scene rendered over a trajectory: the HexPlane spatial-plane

@@ -48,11 +48,30 @@ def _cumprod_sublanes(a: jnp.ndarray, g: int) -> jnp.ndarray:
     return out
 
 
+def _tri_inclusive(g: int) -> jnp.ndarray:
+    """Lower-triangular ones [g, g] (inclusive)."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (jj <= ii).astype(jnp.float32)
+
+
+def _cumprod_mxu(a: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumprod along sublanes as exp(tri @ log a) — one MXU dot
+    plus two transcendental passes instead of the 2*log2(g) VPU passes of
+    the roll ladder (the largest per-chunk cost). `a` >= 1 - MAX_ALPHA =
+    0.01 by construction, so the log is safe."""
+    cum = jax.lax.dot_general(
+        tri, jnp.log(a), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return jnp.exp(cum)
+
+
 def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
                       out_ref, *, tb: int, k: int, g: int, px: int,
                       c_feat: int, hard_cutoffs: bool):
     c_out = c_feat + 1
     basis = basis_ref[:]                 # [8, px] ([1,x,y,x2,y2,xy,0,0])
+    tri = _tri_inclusive(g)
     for t in range(tb):
         ox = origin_ref[t, 0]
         oy = origin_ref[t, 1]
@@ -90,7 +109,7 @@ def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
                 kill = kill | (alpha < ALPHA_MIN)
             alpha = jnp.where(kill, 0.0, alpha)
 
-            cum = _cumprod_sublanes(1.0 - alpha, g)      # T after i (local)
+            cum = _cumprod_mxu(1.0 - alpha, tri)      # T after i (local)
             t_after = T * cum                            # [g, px]
             t_before = T * jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
@@ -241,6 +260,7 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
                    tiles_x: int, tile_size: int, hard_cutoffs: bool):
     c_out = c_feat + 1
     basis = basis_ref[:]                        # [8, px]
+    tri = _tri_inclusive(g)
     blk = pl.program_id(0)
     t0 = blk * tb
     for t in range(tb):
@@ -250,18 +270,24 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
         s0 = (s_t // g) * g                     # g-aligned DMA base
         ox = ((tile % tiles_x) * tile_size).astype(jnp.float32)
         oy = ((tile // tiles_x) * tile_size).astype(jnp.float32)
+        num_chunks = (e_t - s0 + g - 1) // g
+
+        def get_dma(slot, ci):
+            return pltpu.make_async_copy(
+                rows_hbm.at[:, pl.ds(s0 + ci * g, g)],
+                buf.at[slot], sem.at[slot])
+
+        @pl.when(num_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
 
         def chunk_body(ci, carry):
             T, accum = carry
-            base = s0 + ci * g
-            dma = pltpu.make_async_copy(
-                rows_hbm.at[:, pl.ds(base, g)], buf, sem)
-            dma.start()
-            dma.wait()
-            rows = buf[:]                       # [PW, g]
+            rows = buf[ci % 2]                  # [PW, g]
             # segment mask: stream positions outside [s_t, e_t) belong to
             # neighbouring tiles (alignment slack) — kill via ln_op
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + base
+            lane = (jax.lax.broadcasted_iota(jnp.int32, (1, g), 1)
+                    + s0 + ci * g)
             inseg = (lane >= s_t) & (lane < e_t)
             mx = rows[0:1, :] - ox
             my = rows[1:2, :] - oy
@@ -290,7 +316,7 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
                 kill = kill | (alpha < ALPHA_MIN)
             alpha = jnp.where(kill, 0.0, alpha)
 
-            cum = _cumprod_sublanes(1.0 - alpha, g)
+            cum = _cumprod_mxu(1.0 - alpha, tri)
             t_after = T * cum
             t_before = T * jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
@@ -314,19 +340,23 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
 
         T0 = jnp.ones((1, px), jnp.float32)
         acc0 = jnp.zeros((c_out, px), jnp.float32)
-        num_chunks = (e_t - s0 + g - 1) // g
-        if hard_cutoffs:
-            def loop_body(ci, carry):
+
+        # double-buffered walk: start chunk ci+1's DMA before waiting on
+        # ci's; DMAs always run (keeps the semaphore balanced) while the
+        # early-out skips only the compute
+        def loop_body(ci, carry):
+            @pl.when(ci + 1 < num_chunks)
+            def _():
+                get_dma((ci + 1) % 2, ci + 1).start()
+            get_dma(ci % 2, ci).wait()
+            if hard_cutoffs:
                 T, accum = carry
                 return jax.lax.cond(jnp.max(T) >= T_EPS,
                                     lambda c: chunk_body(ci, c),
                                     lambda c: c, (T, accum))
-            T, accum = jax.lax.fori_loop(0, num_chunks, loop_body,
-                                         (T0, acc0))
-        else:
-            T, accum = jax.lax.fori_loop(0, num_chunks, chunk_body,
-                                         (T0, acc0))
+            return chunk_body(ci, carry)
 
+        T, accum = jax.lax.fori_loop(0, num_chunks, loop_body, (T0, acc0))
         out_ref[t, :, :] = accum + bg_ref[:] * T
 
 
@@ -384,8 +414,8 @@ def composite_stream_pallas(
         out_specs=pl.BlockSpec((tb, c_out, px), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pw, g), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, pw, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

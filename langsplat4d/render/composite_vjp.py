@@ -204,12 +204,32 @@ def composite_backward(settings, packed, entries, valid, bg, accum, T_fin,
         d_rows = jnp.concatenate([
             jnp.stack([dmx, dmy, dc0, dc1, dc2, d_op], -1), d_ft,
         ], axis=-1).reshape(-1, 6 + c_all)
+        if sort_scatter:
+            return (prefix_new, grads), (flat, d_rows)
         grads = grads.at[flat].add(d_rows)     # single row scatter per chunk
         return (prefix_new, grads), None
 
+    sort_scatter = getattr(settings, "vjp_sort_scatter", True)
     prefix0 = jnp.zeros((num_t, px), jnp.float32)
-    (_, grads), _ = jax.lax.scan(step, (prefix0, zeros),
-                                 jnp.arange(num_chunks))
+    (_, grads), ys = jax.lax.scan(step, (prefix0, zeros),
+                                  jnp.arange(num_chunks))
+    if sort_scatter:
+        # Scatter-free reduction: one global lex sort by Gaussian id carrying
+        # the gradient columns (payload sorts are ~free on TPU, while XLA
+        # scatter-adds of [T*K] rows dominate the backward), then a
+        # segmented sum via cumsum + boundary gathers.
+        flat_all = ys[0].reshape(-1)                       # [C*T*g]
+        drows_all = ys[1].reshape(-1, 6 + c_all)
+        cols = tuple(drows_all[:, i] for i in range(6 + c_all))
+        sorted_all = jax.lax.sort((flat_all,) + cols, num_keys=1)
+        sid = sorted_all[0]
+        vals = jnp.stack(sorted_all[1:], axis=1)           # [M, 6+c]
+        seg_starts = jnp.searchsorted(
+            sid, jnp.arange(packed.shape[0] + 1, dtype=jnp.int32))
+        csum = jnp.concatenate(
+            [jnp.zeros((1, 6 + c_all), vals.dtype),
+             jnp.cumsum(vals, axis=0)], axis=0)
+        grads = csum[seg_starts[1:]] - csum[seg_starts[:-1]]
     d_bg = jnp.einsum("tp,tcp->c", T_fin, g_out[:, :3, :], precision=HP)
     return grads, d_bg
 

@@ -77,8 +77,9 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         include_feature="base" not in load_stage,
         tile_size=cfg.runtime.tile_size,
         tile_capacity=cfg.runtime.tile_capacity,
-        # fused Pallas compositing for forward-only rendering (TPU only)
-        pallas_composite=jax.default_backend() == "tpu")
+        # stream duplicate+sort binning + ragged-segment Pallas compositing
+        # (TPU only; CPU keeps the golden-tested jnp path)
+        stream_binning=jax.default_backend() == "tpu")
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     gs = state.gaussians()

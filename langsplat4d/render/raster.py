@@ -108,13 +108,17 @@ class RasterSettings:
     # capacities below bound the static emission shapes (stream_overflow
     # reports any clipping).
     stream_binning: bool = False
-    stream_t2_span: int = 4
-    stream_t2_count: int = 16384
-    stream_t3_span: int = 16
-    stream_t3_count: int = 512
+    # (span, capacity) tiers after the implicit (2, N) base tier; sort cost
+    # is linear in emitted slots, so spans should hug the scene's splat-size
+    # distribution (stream_overflow reports per-tier demand)
+    stream_tiers: tuple = ((3, 32768), (6, 4096), (16, 256))
     # Analytic custom-VJP compositing for training (hand-derived backward,
     # ~2x faster than autodiff through the scan; gradient-equality tested).
     analytic_vjp: bool = True
+    # Backward grad reduction: True = global sort-by-id + segmented cumsum
+    # (payload sorts are ~free on TPU; XLA row scatter-adds are not),
+    # False = per-chunk scatter-add.
+    vjp_sort_scatter: bool = True
 
     @property
     def cells_x(self) -> int:
@@ -756,10 +760,8 @@ def _composite_stream(settings: RasterSettings, prep, features, bg):
     from langsplat4d.ops.tile_composite import composite_stream_pallas
     from langsplat4d.render.stream import build_stream
     ts = settings.tile_size
-    rows, starts, _ = build_stream(
-        settings, prep, features,
-        t2_span=settings.stream_t2_span, t2_count=settings.stream_t2_count,
-        t3_span=settings.stream_t3_span, t3_count=settings.stream_t3_count)
+    rows, starts, _ = build_stream(settings, prep, features,
+                                   tiers=settings.stream_tiers)
     out = composite_stream_pallas(
         rows, starts, bg, tiles_x=settings.tiles_x,
         num_tiles=settings.num_tiles, tile_size=ts,

@@ -8,9 +8,9 @@ compositor walks each tile's contiguous segment of the sorted stream.
 
 Why this beats the padded-container design (render/raster.py bin_cells /
 bin_tiles):
-- XLA's variadic sort is HBM-bandwidth-cheap (measured ~0.1 ms for a 1M-row
-  17-column lex sort on one v5e chip), while per-container top_k/sort over
-  padded capacities costs tens of ms at Neu3D scale;
+- ONE global variadic sort (cost ~linear in emitted slots x columns,
+  measured ~0.6 ns/element on one v5e chip) replaces the per-container
+  top_k/sort cascade over padded capacities (~24 ms/frame at Neu3D scale);
 - carrying the packed rows through the sort removes BOTH the [T*K]-row pack
   gather (~9 ms, the former second-largest slice) and any per-entry payload
   gather: tier-1 payloads are whole-column repeats (bandwidth-only), tier-2/3
@@ -18,11 +18,12 @@ bin_tiles):
 - total work scales with the ACTUAL number of (Gaussian, tile) pairs
   (mean ~3.2 per visible Gaussian at bench scale), not num_tiles * capacity.
 
-Tile coverage is emitted in static tiers so shapes stay XLA-static: every
-visible Gaussian gets 2x2 slots; all Gaussians spanning more (capacity
-`t2_count`) get the rest of a `t2_span`^2 rect; those spanning more than that
-(capacity `t3_count`) get the rest of a `t3_span`^2 rect. `stream_overflow`
-reports any Gaussian exceeding a tier capacity or t3_span (0 on every
+Tile coverage is emitted in static span tiers so shapes stay XLA-static:
+every visible Gaussian gets 2x2 slots; each configured tier (span, count)
+gives the `count` largest Gaussians spanning beyond the previous tier the
+remaining slots of its span^2 rect. Sort cost is linear in total emitted
+slots, so tiers should hug the scene's span distribution; `stream_overflow`
+reports per-tier demand and any Gaussian beyond the last span (0 on every
 measured workload; raise the settings for pathological scenes).
 """
 from __future__ import annotations
@@ -40,10 +41,7 @@ def build_stream(
     prep: Dict[str, jnp.ndarray],
     features: jnp.ndarray,       # [N, L]
     *,
-    t2_span: int = 4,
-    t2_count: int = 16384,
-    t3_span: int = 16,
-    t3_count: int = 512,
+    tiers: Tuple[Tuple[int, int], ...] = ((3, 32768), (6, 4096), (16, 256)),
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (rows [16, M] f32, starts [T+1] i32, n_valid [] i32).
 
@@ -76,18 +74,28 @@ def build_stream(
     ], axis=0)
     n_pay = cols.shape[0]
 
+    import numpy as np
+
     tiles_parts, deps_parts = [], []
     pay_parts = [[] for _ in range(n_pay)]
 
     def emit(r0x, r0y, r1x, r1y, d, active, tier_cols, slots):
-        for dx, dy in slots:
-            tx = r0x + dx
-            ty = r0y + dy
-            ok = active & (tx < r1x) & (ty < r1y)
-            tiles_parts.append(jnp.where(ok, ty * tiles_x + tx, num_tiles))
-            deps_parts.append(d)
-            for i in range(n_pay):
-                pay_parts[i].append(tier_cols[i])
+        """Vectorized slot emission: one [S*B] array per column per tier
+        (a python loop over slots would build hundreds of tiny concats)."""
+        dxs = jnp.asarray(np.array([s[0] for s in slots], np.int32))[:, None]
+        dys = jnp.asarray(np.array([s[1] for s in slots], np.int32))[:, None]
+        ns = len(slots)
+        tx = r0x[None, :] + dxs                       # [S, B]
+        ty = r0y[None, :] + dys
+        ok = active[None, :] & (tx < r1x[None, :]) & (ty < r1y[None, :])
+        tiles_parts.append(
+            jnp.where(ok, ty * tiles_x + tx, num_tiles).reshape(-1))
+        deps_parts.append(
+            jnp.broadcast_to(d[None, :], (ns, d.shape[0])).reshape(-1))
+        for i in range(n_pay):
+            c = tier_cols[i]
+            pay_parts[i].append(
+                jnp.broadcast_to(c[None, :], (ns, c.shape[0])).reshape(-1))
 
     # tier 1: 2x2 for every visible Gaussian — payloads are whole-column
     # repeats, no gather
@@ -95,29 +103,23 @@ def build_stream(
     emit(rmin[:, 0], rmin[:, 1], rmax[:, 0], rmax[:, 1], depth, vis,
          [cols[i] for i in range(n_pay)], t1_slots)
 
-    # tier 2: Gaussians spanning beyond 2x2 (all of them, capacity
-    # permitting) get the rest of a t2_span^2 rect; only these few thousand
-    # rows are gathered
-    big2 = vis & ((span_x > 2) | (span_y > 2))
-    area2 = jnp.where(big2, span_x * span_y, -1)
-    _, idx2 = jax.lax.top_k(area2, min(t2_count, n))
-    sel2 = area2[idx2] > 0
-    cols2 = cols[:, idx2]
-    t2_slots = [(dx, dy) for dy in range(t2_span) for dx in range(t2_span)
-                if not (dx < 2 and dy < 2)]
-    emit(rmin[idx2, 0], rmin[idx2, 1], rmax[idx2, 0], rmax[idx2, 1],
-         depth[idx2], sel2, [cols2[i] for i in range(n_pay)], t2_slots)
-
-    # tier 3: spans beyond t2_span get the rest of a t3_span^2 rect
-    big3 = vis & ((span_x > t2_span) | (span_y > t2_span))
-    area3 = jnp.where(big3, span_x * span_y, -1)
-    _, idx3 = jax.lax.top_k(area3, min(t3_count, n))
-    sel3 = area3[idx3] > 0
-    cols3 = cols[:, idx3]
-    t3_slots = [(dx, dy) for dy in range(t3_span) for dx in range(t3_span)
-                if not (dx < t2_span and dy < t2_span)]
-    emit(rmin[idx3, 0], rmin[idx3, 1], rmax[idx3, 0], rmax[idx3, 1],
-         depth[idx3], sel3, [cols3[i] for i in range(n_pay)], t3_slots)
+    # higher tiers: Gaussians spanning beyond the previous tier's rect
+    # (capacity permitting) get the remaining slots of this tier's rect;
+    # only these few thousand rows are gathered. Row-major table for the
+    # tier gathers — XLA row gathers are cheap, 2-D element gathers are not.
+    packed_rows = cols.T                                  # [N, n_pay]
+    prev_span = 2
+    for span_i, count_i in tiers:
+        bigm = vis & ((span_x > prev_span) | (span_y > prev_span))
+        area_i = jnp.where(bigm, span_x * span_y, -1)
+        _, idx_i = jax.lax.top_k(area_i, min(count_i, n))
+        sel_i = area_i[idx_i] > 0
+        cols_i = packed_rows[idx_i].T
+        slots_i = [(dx, dy) for dy in range(span_i) for dx in range(span_i)
+                   if not (dx < prev_span and dy < prev_span)]
+        emit(rmin[idx_i, 0], rmin[idx_i, 1], rmax[idx_i, 0], rmax[idx_i, 1],
+             depth[idx_i], sel_i, [cols_i[i] for i in range(n_pay)], slots_i)
+        prev_span = span_i
 
     tile_all = jnp.concatenate(tiles_parts)
     dep_all = jnp.concatenate(deps_parts)
@@ -141,21 +143,22 @@ def build_stream(
     return rows, starts, starts[num_tiles]
 
 
-def stream_overflow(settings, prep, *, t2_span: int = 4,
-                    t2_count: int = 16384, t3_span: int = 16,
-                    t3_count: int = 512) -> Dict[str, jnp.ndarray]:
-    """Diagnostics: Gaussians whose tile rect exceeds the static tier
-    capacities (clipped by build_stream). All zeros on measured workloads."""
+def stream_overflow(settings, prep, *,
+                    tiers=((3, 32768), (6, 4096), (16, 256))
+                    ) -> Dict[str, jnp.ndarray]:
+    """Diagnostics: per-tier demand vs the static capacities (build_stream
+    clips on overflow). All zeros-over-capacity on measured workloads."""
     rmin = prep["rect_min"].astype(jnp.int32)
     rmax = prep["rect_max"].astype(jnp.int32)
     vis = prep["visible"]
     sx = rmax[:, 0] - rmin[:, 0]
     sy = rmax[:, 1] - rmin[:, 1]
-    big2 = vis & ((sx > 2) | (sy > 2))
-    big3 = vis & ((sx > t2_span) | (sy > t2_span))
-    huge = vis & ((sx > t3_span) | (sy > t3_span))
-    return {
-        "t2_needed": big2.sum(),          # must be <= t2_count
-        "t3_needed": big3.sum(),          # must be <= t3_count
-        "t3_span_exceeded": huge.sum(),   # must be 0 for exactness
-    }
+    out = {}
+    prev = 2
+    for k, (span_i, count_i) in enumerate(tiers):
+        need = (vis & ((sx > prev) | (sy > prev))).sum()
+        out[f"tier{k + 2}_needed"] = need        # must be <= count_i
+        out[f"tier{k + 2}_capacity"] = jnp.asarray(count_i)
+        prev = span_i
+    out["span_exceeded"] = (vis & ((sx > prev) | (sy > prev))).sum()  # == 0
+    return out

@@ -51,6 +51,13 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
             f, m = c.get_language_feature(lf_path, cfg.model.feature_level,
                                           split, scene.dataset_type)
         if f is None:
+            # zeros turn the lang loss into a silent no-op — warn once so a
+            # wrong --language_features_name can't quietly train zero fields
+            if not getattr(build_batch, "_warned_missing_lang", False):
+                build_batch._warned_missing_lang = True
+                logger.warning(
+                    f"no GT language features found under {lf_path!r} "
+                    f"(camera {c.image_name}); lang losses will see zeros.")
             f = np.zeros((lang_dim, c.height, c.width), np.float32)
             m = np.zeros((1, c.height, c.width), bool)
         gt_langs.append(f)

@@ -59,14 +59,18 @@ def main():
     info = np.load(os.path.join(work, "scene_info.npz"))
 
     # ---- 1. AE: train on raw clip-space features, export dim3 ----
+    # (no --language_name: the default triggers the reference's clean
+    # language_features_dim{d} output naming, autoencoder/test.py:36-44)
     ae_args = ["--dataset_path", scene, "--model_name", "quality",
-               "--language_name", "language_features",
                "--encoder_dims", "8", "3", "--decoder_dims", "8",
                str(clip_dim), "--feature_dims", str(clip_dim),
                "--ckpt_dir", os.path.join(work, "ae")]
-    sh([sys.executable, "-m", "langsplat4d.ae.train", *ae_args,
-        "--num_epochs", "300", "--lr", "1e-2"], env=env)
-    sh([sys.executable, "-m", "langsplat4d.ae.test", *ae_args], env=env)
+    if not os.path.exists(os.path.join(work, "ae", "quality",
+                                       "best_ckpt.pth")):
+        sh([sys.executable, "-m", "langsplat4d.ae.train", *ae_args,
+            "--num_epochs", "300", "--lr", "1e-2"], env=env)
+    if not os.path.exists(os.path.join(scene, "language_features_dim3")):
+        sh([sys.executable, "-m", "langsplat4d.ae.test", *ae_args], env=env)
 
     # ---- 2. train the 4-stage curriculum ----
     cfgp = os.path.join(work, "quality_cfg.py")
@@ -86,12 +90,15 @@ OptimizationParams = dict(
     opacity_reset_interval=99999, max_points=20000, batch_size=1,
 )
 """)
-    sh([sys.executable, "train.py", "--source_path", scene,
-        "--model_path", model, "--language_features_name",
-        "language_features_dim3", "--feature_level", "1", "--expname",
-        "quality", "--configs", cfgp, "--port", "-1",
-        "--save_iterations", "1200", "--checkpoint_iterations", "1200",
-        "--test_iterations", "1200"], env=env)
+    trained_marker = os.path.join(model, "point_cloud",
+                                  "fine-lang_iteration_1200")
+    if not os.path.exists(trained_marker):
+        sh([sys.executable, "train.py", "--source_path", scene,
+            "--model_path", model, "--language_features_name",
+            "language_features_dim3", "--feature_level", "1", "--expname",
+            "quality", "--configs", cfgp, "--port", "-1",
+            "--save_iterations", "1200", "--checkpoint_iterations", "1200",
+            "--test_iterations", "1200"], env=env)
 
     # ---- 3. render rgb (PSNR) + lang (eval input) ----
     common = ["--model_path", model, "--source_path", scene,

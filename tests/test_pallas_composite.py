@@ -111,14 +111,15 @@ def test_stream_path_matches_list_path(rng, hard_cutoffs):
 
     stream_set = R.RasterSettings(
         H, W, **base, stream_binning=True, pallas_tile_block=4,
-        stream_t2_count=64, stream_t3_count=8)
+        stream_tiers=((3, 64), (6, 16), (16, 8)))
     out = R.rasterize(stream_set, cam, jnp.asarray(means), *args)
 
     from langsplat4d.render.stream import stream_overflow
     prep = R.preprocess(ref_set, cam, jnp.asarray(means), *args[:4], None,
                         colors_precomp=jnp.asarray(colors))
-    ov = stream_overflow(stream_set, prep, t2_count=64, t3_count=8)
-    assert int(ov["t3_span_exceeded"]) == 0
+    ov = stream_overflow(stream_set, prep,
+                         tiers=((3, 64), (6, 16), (16, 8)))
+    assert int(ov["span_exceeded"]) == 0
 
     for a, b, name in ((out[0], ref[0], "rgb"), (out[1], ref[1], "lang"),
                        (out[3], ref[3], "depth")):
