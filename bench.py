@@ -94,15 +94,35 @@ def main():
     dt = time.time() - t0
     fps = frames / dt
 
-    train_it_per_s = _bench_train_step()
-
-    print(json.dumps({
+    result = {
         "metric": "render_fps_neu3d_scale",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
-        "train_it_per_s_hypernerf_scale": round(train_it_per_s, 2),
-    }))
+    }
+    train_it_per_s = _bench_train_subprocess()
+    if train_it_per_s is not None:
+        result["train_it_per_s_hypernerf_scale"] = round(train_it_per_s, 2)
+    print(json.dumps(result))
+
+
+def _bench_train_subprocess(timeout_s: int = 420):
+    """Run the train-step benchmark in a watchdogged subprocess so a wedged
+    dispatch can never take the whole benchmark down with it (the axon
+    tunnel serializes the device; a stuck client blocks everything)."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--train-only"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in r.stdout.splitlines():
+            if line.startswith("TRAIN_IT_PER_S "):
+                return float(line.split()[1])
+    except subprocess.TimeoutExpired:
+        print("train-step benchmark timed out; reporting render only",
+              file=sys.stderr)
+    return None
 
 
 def _bench_train_step():
@@ -161,7 +181,8 @@ def _bench_train_step():
 
     settings = RasterSettings(
         image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
-        include_feature=True, tile_capacity=512)
+        include_feature=True, tile_capacity=512,
+        vjp_sort_scatter=os.getenv("BENCH_SORT_SCATTER", "1") == "1")
     step_cfg = StepConfig(
         settings=settings, dcfg=dcfg,
         lr_cfg=LRConfig.from_optim(OptimizationConfig(), 1.0),
@@ -180,4 +201,7 @@ def _bench_train_step():
 
 
 if __name__ == "__main__":
-    main()
+    if "--train-only" in sys.argv:
+        print("TRAIN_IT_PER_S", _bench_train_step())
+    else:
+        main()
