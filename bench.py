@@ -182,21 +182,29 @@ def _bench_train_step():
     settings = RasterSettings(
         image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
         include_feature=True, tile_capacity=512,
-        vjp_sort_scatter=os.getenv("BENCH_SORT_SCATTER", "1") == "1")
+        vjp_sort_scatter=os.getenv("BENCH_SORT_SCATTER", "0") == "1",
+        # fused Pallas primal+backward inside the analytic VJP, as the
+        # training loop configures on TPU
+        vjp_pallas_forward=os.getenv("BENCH_PALLAS_VJP", "1") == "1",
+        vjp_pallas_backward=os.getenv("BENCH_PALLAS_VJP", "1") == "1")
     step_cfg = StepConfig(
         settings=settings, dcfg=dcfg,
         lr_cfg=LRConfig.from_optim(OptimizationConfig(), 1.0),
         stage="fine-lang", no_dlang=False)
     bg = jnp.zeros(3)
 
-    state, *_ = train_step(step_cfg, state, batch, bg,
-                           jnp.asarray(1, jnp.int32), 3)
-    jax.block_until_ready(state.params["xyz"])
+    state, metrics, *_ = train_step(step_cfg, state, batch, bg,
+                                    jnp.asarray(1, jnp.int32), 3)
+    jax.block_until_ready((state.params["xyz"], metrics["loss"]))
     t0 = time.time()
+    losses = []
     for i in range(steps):
-        state, *_ = train_step(step_cfg, state, batch, bg,
-                               jnp.asarray(i + 2, jnp.int32), 3)
-    jax.block_until_ready(state.params["xyz"])
+        state, metrics, *_ = train_step(step_cfg, state, batch, bg,
+                                        jnp.asarray(i + 2, jnp.int32), 3)
+        losses.append(metrics["loss"])
+    # block on the loss chain too: the axon runtime evaluates lazily per
+    # output buffer, and blocking on a single leaf under-reports wildly
+    jax.block_until_ready((state.params["xyz"], losses))
     return steps / (time.time() - t0)
 
 

@@ -248,6 +248,189 @@ def pack_rows(prep, entries, valid, features) -> Tuple[jnp.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# Backward kernel for the analytic VJP (render/composite_vjp.py): one fused
+# front-to-back sweep per tile recomputing the forward recurrences and
+# emitting per-entry gradient rows d_rows [T, PW, K] densely — every (tile,
+# slot) pair owns its output row, so there are no scatter conflicts; the
+# per-Gaussian reduction happens outside (scatter-add of the flat rows).
+# ---------------------------------------------------------------------------
+
+def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
+                     out_ref, *, tb: int, k: int, g: int, px: int,
+                     c_feat: int, tiles_x: int, tile_size: int,
+                     hard_cutoffs: bool):
+    c_out = c_feat + 1
+    basis = basis_ref[:]                     # [8, px]
+    tri = _tri_inclusive(g)
+    blk = pl.program_id(0)
+    for t in range(tb):
+        tile = blk * tb + t
+        ox = ((tile % tiles_x) * tile_size).astype(jnp.float32)
+        oy = ((tile // tiles_x) * tile_size).astype(jnp.float32)
+        out_ref[t, :, :] = jnp.zeros((rows_ref.shape[1], k), jnp.float32)
+        g_feat = gout_ref[t, :c_feat, :]     # [c_feat, px]
+        g_alpha = gout_ref[t, c_feat:c_out, :]   # [1, px]
+        total = total_ref[t, :, :]           # [1, px]
+
+        def chunk_body(ci, carry):
+            T, prefix = carry                # [1, px], [1, px]
+            rows = rows_ref[t, :, pl.ds(ci * g, g)]      # [PW, g]
+            mx = rows[0:1, :] - ox
+            my = rows[1:2, :] - oy
+            c0 = rows[2:3, :]
+            c1 = rows[3:4, :]
+            c2 = rows[4:5, :]
+            ln_op = rows[5:6, :]
+            ft = rows[HDR:HDR + c_feat, :]               # [c_feat, g]
+
+            coef = jnp.concatenate([
+                -0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my,
+                c0 * mx + c1 * my,
+                c2 * my + c1 * mx,
+                -0.5 * c0,
+                -0.5 * c2,
+                -c1,
+                jnp.zeros((2, g), jnp.float32),
+            ], axis=0)
+            power = jax.lax.dot_general(
+                coef, basis, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [g, px]
+            alpha_raw = jnp.exp(power + ln_op.reshape(g, 1))
+            alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
+            kill = power > 0.0
+            if hard_cutoffs:
+                kill = kill | (alpha < ALPHA_MIN)
+            alpha = jnp.where(kill, 0.0, alpha)
+            smooth = (~kill) & (alpha_raw < MAX_ALPHA)
+
+            cum = _cumprod_mxu(1.0 - alpha, tri)
+            t_after = T * cum
+            t_before = T * jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
+                pltpu.roll(cum, 1, 0), 1.0)
+            if hard_cutoffs:
+                include = t_after >= T_EPS
+                w = jnp.where(include, alpha * t_before, 0.0)
+                t_masked = jnp.where(include, t_after, jnp.inf)
+                T_new = jnp.min(t_masked, axis=0, keepdims=True)
+                T_new = jnp.where(jnp.isinf(T_new), T, T_new)
+            else:
+                include = jnp.ones_like(t_after, bool)
+                w = alpha * t_before
+                T_new = t_after[g - 1:g, :]
+
+            # phi_i = f_i . g_feat + g_alpha           [g, px]
+            phi = jax.lax.dot_general(
+                ft, g_feat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + g_alpha
+            pi = w * phi
+            # inclusive prefix along sublanes via the tri matmul
+            prefix_i = prefix + jax.lax.dot_general(
+                tri, pi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            prefix_new = prefix + jnp.sum(pi, axis=0, keepdims=True)
+            S = total - prefix_i
+            d_alpha = jnp.where(
+                include,
+                t_before * phi - S / jnp.maximum(1.0 - alpha, 1e-6), 0.0)
+            d_alpha = jnp.where(smooth, d_alpha, 0.0)
+
+            da_dpower = d_alpha * alpha                  # [g, px]
+            d_lnop = jnp.sum(da_dpower, axis=1)[None, :]  # [1, g]
+            # d_op = d_lnop / op, with the -inf sentinel guarded
+            d_op = jnp.where(ln_op > -1e29, d_lnop * jnp.exp(-ln_op), 0.0)
+            d_coef = jax.lax.dot_general(
+                da_dpower, basis, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [g, 8]
+            dcf = d_coef.T                               # [8, g]
+            dc0 = -0.5 * mx * mx * dcf[0:1] + mx * dcf[1:2] - 0.5 * dcf[3:4]
+            dc1 = (-mx * my * dcf[0:1] + my * dcf[1:2] + mx * dcf[2:3]
+                   - dcf[5:6])
+            dc2 = -0.5 * my * my * dcf[0:1] + my * dcf[2:3] - 0.5 * dcf[4:5]
+            dmx = ((-c0 * mx - c1 * my) * dcf[0:1] + c0 * dcf[1:2]
+                   + c1 * dcf[2:3])
+            dmy = ((-c2 * my - c1 * mx) * dcf[0:1] + c1 * dcf[1:2]
+                   + c2 * dcf[2:3])
+            # d_ft[c, i] = sum_px g_feat[c, px] * w[i, px]
+            d_ft = jax.lax.dot_general(
+                g_feat, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [c_feat, g]
+
+            d_rows = jnp.concatenate([
+                dmx, dmy, dc0, dc1, dc2, d_op,
+                jnp.zeros((2, g), jnp.float32), d_ft,
+            ], axis=0)                                   # [8 + c_feat, g]
+            pw = rows_ref.shape[1]
+            if d_rows.shape[0] < pw:
+                d_rows = jnp.concatenate(
+                    [d_rows,
+                     jnp.zeros((pw - d_rows.shape[0], g), jnp.float32)],
+                    axis=0)
+            out_ref[t, :, pl.ds(ci * g, g)] = d_rows
+            return T_new, prefix_new
+
+        num_chunks = (counts_ref[t, 0] + g - 1) // g
+        T0 = jnp.ones((1, px), jnp.float32)
+        p0 = jnp.zeros((1, px), jnp.float32)
+        jax.lax.fori_loop(0, num_chunks, chunk_body, (T0, p0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "tile_size", "tb", "g", "hard_cutoffs"))
+def composite_backward_pallas(
+    rows: jnp.ndarray,      # [T, PW, K] packed rows (kernel layout, centered)
+    counts: jnp.ndarray,    # [T]
+    g_out: jnp.ndarray,     # [T, c_out, px] cotangent
+    total: jnp.ndarray,     # [T, px] = <accum, g_out> per pixel
+    *,
+    tiles_x: int,
+    tile_size: int = 16,
+    tb: int = 4,
+    g: int = 128,
+    hard_cutoffs: bool = True,
+) -> jnp.ndarray:
+    """-> d_rows [T, PW, K] per-entry gradient rows
+    [dmx, dmy, dc0, dc1, dc2, d_op, 0, 0 | d_feats]; rows carry IMAGE-space
+    pix coords like the forward kernel (origins derived from tile ids)."""
+    t_total, pw, k = rows.shape
+    c_feat = pw - HDR
+    c_out = c_feat + 1
+    px = tile_size * tile_size
+    assert t_total % tb == 0 and k % g == 0
+
+    lx = jnp.tile(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    ly = jnp.repeat(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    basis = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, ly * ly, lx * ly,
+                       jnp.zeros_like(lx), jnp.zeros_like(lx)], axis=0)
+
+    kernel = functools.partial(
+        _backward_kernel, tb=tb, k=k, g=g, px=px, c_feat=c_feat,
+        tiles_x=tiles_x, tile_size=tile_size, hard_cutoffs=hard_cutoffs)
+    grid = (t_total // tb,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, pw, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tb, c_out, px), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 1, px), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, px), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, pw, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_total, pw, k), jnp.float32),
+    )(rows, counts.astype(jnp.int32)[:, None], g_out,
+      total[:, None, :], basis)
+
+
+# ---------------------------------------------------------------------------
 # Stream compositing: each tile walks its contiguous (tile, depth)-sorted
 # segment of the global duplicate stream (render/stream.py) via dynamic-offset
 # DMA — the ragged-segment consumer of the CUDA-style duplicate+sort binning.

@@ -115,10 +115,18 @@ class RasterSettings:
     # Analytic custom-VJP compositing for training (hand-derived backward,
     # ~2x faster than autodiff through the scan; gradient-equality tested).
     analytic_vjp: bool = True
-    # Backward grad reduction: True = global sort-by-id + segmented cumsum
-    # (payload sorts are ~free on TPU; XLA row scatter-adds are not),
-    # False = per-chunk scatter-add.
-    vjp_sort_scatter: bool = True
+    # Run the analytic-VJP primal as the fused Pallas kernel (TPU; the
+    # backward recomputes its sweep from `packed`, so no scan residuals are
+    # needed). CPU/test paths keep the jnp scan.
+    vjp_pallas_forward: bool = False
+    # Run the analytic backward as the fused Pallas sweep too (per-entry
+    # gradient rows in VMEM + one scatter-add).
+    vjp_pallas_backward: bool = False
+    # Backward grad reduction: sort-by-id + segmented cumsum instead of the
+    # per-chunk scatter-adds. Measured SLOWER at HyperNeRF training scale
+    # (143 vs 129 ms/it — the stacked per-chunk gradient rows cost more than
+    # the scatters they replace); kept as an option for other workloads.
+    vjp_sort_scatter: bool = False
 
     @property
     def cells_x(self) -> int:

@@ -283,7 +283,10 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         sh_degree=0, lang_dim=cfg.runtime.language_feature_hiddendim,
         include_feature="base" not in stage,
         tile_size=cfg.runtime.tile_size,
-        tile_capacity=cfg.runtime.tile_capacity)
+        tile_capacity=cfg.runtime.tile_capacity,
+        # fused Pallas primal + backward inside the analytic VJP (TPU only)
+        vjp_pallas_forward=jax.default_backend() == "tpu",
+        vjp_pallas_backward=jax.default_backend() == "tpu")
     lr_cfg = LRConfig.from_optim(opt, scene.cameras_extent)
     step_cfg = StepConfig(
         settings=settings, dcfg=dcfg, lr_cfg=lr_cfg, stage=stage,

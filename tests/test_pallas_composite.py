@@ -125,3 +125,51 @@ def test_stream_path_matches_list_path(rng, hard_cutoffs):
                        (out[3], ref[3], "depth")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
                                    err_msg=name)
+
+
+def test_vjp_pallas_forward_grads(rng):
+    """custom_vjp with the Pallas primal (vjp_pallas_forward): value ==
+    jnp-scan primal and gradients == autodiff through the scan."""
+    import dataclasses
+    from langsplat4d.render import composite_vjp as CV
+    H = W = 32
+    cam = make_camera(H, W)
+    settings = R.RasterSettings(
+        H, W, sh_degree=0, lang_dim=3, include_feature=True,
+        tile_capacity=64, composite_chunk=32, bin_tile_chunk=8,
+        composite_tile_chunk=4, pallas_tile_block=2, bin_cell_tiles=2,
+        cell_capacity=128, band_capacity=128, tile_row_capacity=64)
+    n = 60
+    means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+    prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+        settings, cam, mn, dm, op, sc, qt, None, cl))(
+        jnp.asarray(means), jnp.zeros((n, 2)), jnp.asarray(opac),
+        jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+    prep = jax.tree.map(jnp.asarray, jax.device_get(prep))
+    entries, valid = jax.jit(lambda p: R.bin_tiles(settings, p))(prep)
+    packed = jnp.concatenate(
+        [prep["point_image"], prep["conic"], prep["opacity"][:, None],
+         prep["colors"], jnp.asarray(lang), prep["depth"][:, None]], axis=1)
+    bg = jnp.asarray([0.2, 0.5, 0.7])
+    tgt = jnp.asarray(rng.normal(size=(settings.num_tiles, 8, 256)),
+                      jnp.float32)
+
+    pal = dataclasses.replace(settings, vjp_pallas_forward=True,
+                              vjp_pallas_backward=True)
+
+    def loss_pal(d, b):
+        return jnp.sum(CV.composite_cv(pal, d, entries, valid, b) * tgt)
+
+    def loss_ref(d, b):
+        return jnp.sum(CV.composite_forward(settings, d, entries, valid, b)
+                       * tgt)
+
+    v_pal = loss_pal(packed, bg)
+    v_ref = loss_ref(packed, bg)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-4)
+    g_pal = jax.jit(jax.grad(loss_pal, argnums=(0, 1)))(packed, bg)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(packed, bg)
+    np.testing.assert_allclose(np.asarray(g_pal[0]), np.asarray(g_ref[0]),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_pal[1]), np.asarray(g_ref[1]),
+                               rtol=2e-3, atol=2e-4)

@@ -471,7 +471,7 @@ class TestAnalyticVJP:
             return jnp.sum(acc * tgt)
 
         def loss_ad(d, b):
-            acc, _, _ = CV.composite_forward(settings, d, entries, valid, b)
+            acc = CV.composite_forward(settings, d, entries, valid, b)
             return jnp.sum(acc * tgt)
 
         g_cv = jax.jit(jax.grad(loss_cv, argnums=(0, 1)))(packed, bg)
