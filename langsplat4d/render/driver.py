@@ -111,6 +111,37 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
     _ = jax.block_until_ready(render_one(views[0].camera_params(),
                                          jnp.asarray(views[0].time)))
 
+    if settings.stream_binning:
+        # stream tier-capacity audit on the first view: clipping would be
+        # silent in the hot path (render/stream.py tiers are static)
+        from langsplat4d.core.transforms import safe_normalize
+        from langsplat4d.render.stream import stream_overflow
+        from langsplat4d.render.raster import preprocess
+        try:
+            # canonical (undeformed) attributes approximate the deformed
+            # span distribution well enough for a capacity audit
+            prep = preprocess(
+                settings, views[0].camera_params(), gs.xyz,
+                jnp.zeros((gs.capacity, 2)), jax.nn.sigmoid(gs.opacity),
+                jnp.exp(gs.scaling), safe_normalize(gs.rotation), None,
+                colors_precomp=jnp.zeros((gs.capacity, 3)),
+                active=gs.active_mask())
+            ov = stream_overflow(settings, prep, tiers=settings.stream_tiers)
+            for i, (span, cap) in enumerate(settings.stream_tiers):
+                need = int(ov[f"tier{i + 2}_needed"])
+                if need > cap:
+                    logger.warning(
+                        f"stream tier {i + 2} (span {span}) demand {need} > "
+                        f"capacity {cap}: the largest Gaussians render with "
+                        "clipped tile coverage. Raise stream_tiers.")
+            if int(ov["span_exceeded"]) > 0:
+                logger.warning(
+                    f"{int(ov['span_exceeded'])} Gaussians span beyond the "
+                    f"last stream tier ({settings.stream_tiers[-1][0]} "
+                    "tiles); raise stream_tiers for exact rendering.")
+        except Exception as e:  # diagnostics must never break rendering
+            logger.warning(f"stream overflow audit skipped: {e}")
+
     render_list: List[np.ndarray] = []
     gt_nonorm_list: List[Optional[np.ndarray]] = []
     gt_list: List[Optional[np.ndarray]] = []
