@@ -51,6 +51,10 @@ def deform_params_to_torch_state_dict(params: Dict[str, Any],
         for p, plane in enumerate(scale_planes):
             sd[f"deformation_net.grid.grids.{s}.{p}"] = \
                 np.asarray(plane)[None].copy()  # [1,C,H,W]
+    if "empty_voxel" in params:
+        # DenseGrid param (scene/grid.py:24): torch stores [1, C, *world]
+        sd["deformation_net.empty_voxel.grid"] = \
+            np.asarray(params["empty_voxel"])[None].copy()
     # positional-encoding frequency buffers (deformation.py:212-215)
     if cfg is not None:
         sd["time_poc"] = (2.0 ** np.arange(cfg.timebase_pe)).astype(np.float32)
@@ -102,7 +106,9 @@ def torch_state_dict_to_deform_params(sd: Dict[str, Any],
         grids.append(planes)
     out["grid"] = {"grids": grids}
     if "empty_voxel" in template:
-        out["empty_voxel"] = template["empty_voxel"]
+        key = "deformation_net.empty_voxel.grid"
+        out["empty_voxel"] = (np.asarray(sd[key])[0] if key in sd
+                              else template["empty_voxel"])
     return out
 
 
