@@ -169,16 +169,20 @@ def composite_forward_pallas(settings, packed, entries, valid, bg):
 
 
 def composite_backward_pallas_path(settings, packed, entries, valid, bg,
-                                   accum, T_fin, g_out):
+                                   accum, T_fin, g_out, rows_counts=None):
     """Analytic backward as the fused Pallas sweep
     (ops/tile_composite.composite_backward_pallas): per-entry gradient rows
-    computed densely in VMEM, then one scatter-add to the Gaussian arrays."""
+    computed densely in VMEM, then one scatter-add to the Gaussian arrays.
+    `rows_counts` reuses the forward's packed rows (saves the 1M-row
+    re-gather)."""
     from langsplat4d.ops.tile_composite import (HDR,
                                                 composite_backward_pallas)
     num_t = settings.num_tiles
     k = settings.tile_capacity
     c_all = packed.shape[1] - 6
-    rows, counts = _kernel_rows(settings, packed, entries, valid)
+    if rows_counts is None:
+        rows_counts = _kernel_rows(settings, packed, entries, valid)
+    rows, counts = rows_counts
     total = jnp.sum(accum * g_out, axis=1)                # [T, px]
     tb = settings.pallas_tile_block
     pad = (-num_t) % tb
@@ -334,18 +338,31 @@ def composite_cv(settings, packed, entries, valid, bg):
 
 
 def _cv_fwd(settings, packed, entries, valid, bg):
+    if getattr(settings, "vjp_pallas_forward", False) and \
+            getattr(settings, "vjp_pallas_backward", False):
+        # share the packed kernel rows between primal and backward
+        from langsplat4d.ops.tile_composite import composite_tiles_pallas
+        rows, counts = _kernel_rows(settings, packed, entries, valid)
+        accum = composite_tiles_pallas(
+            rows, bg, tiles_x=settings.tiles_x,
+            tile_size=settings.tile_size, tb=settings.pallas_tile_block,
+            g=min(settings.composite_chunk, settings.tile_capacity),
+            hard_cutoffs=settings.hard_cutoffs,
+            counts=counts)[: settings.num_tiles]
+        return accum, (packed, entries, valid, bg, accum, (rows, counts))
     accum = _primal(settings, packed, entries, valid, bg)
-    return accum, (packed, entries, valid, bg, accum)
+    return accum, (packed, entries, valid, bg, accum, None)
 
 
 def _cv_bwd(settings, res, g_out):
-    packed, entries, valid, bg, accum = res
+    packed, entries, valid, bg, accum, rows_counts = res
     c_all = packed.shape[1] - 6
     # T_fin is derivable: the alpha channel accumulates sum w = 1 - T_fin
     T_fin = 1.0 - accum[:, c_all, :]
     if getattr(settings, "vjp_pallas_backward", False):
         d_packed, d_bg = composite_backward_pallas_path(
-            settings, packed, entries, valid, bg, accum, T_fin, g_out)
+            settings, packed, entries, valid, bg, accum, T_fin, g_out,
+            rows_counts=rows_counts)
     else:
         d_packed, d_bg = composite_backward(
             settings, packed, entries, valid, bg, accum, T_fin, g_out)
