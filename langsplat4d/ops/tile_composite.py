@@ -62,7 +62,8 @@ def _cumprod_mxu(a: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     0.01 by construction, so the log is safe."""
     cum = jax.lax.dot_general(
         tri, jnp.log(a), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     return jnp.exp(cum)
 
 
@@ -101,7 +102,8 @@ def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
             # power[g, px] = coef^T @ basis
             power = jax.lax.dot_general(
                 coef, basis, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [g, px]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [g, px]
             alpha = jnp.exp(power + ln_op.reshape(g, 1))
             alpha = jnp.minimum(MAX_ALPHA, alpha)
             kill = power > 0.0
@@ -126,7 +128,8 @@ def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
 
             contrib = jax.lax.dot_general(
                 ft, weights, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [c_feat, px]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [c_feat, px]
             alpha_sum = jnp.sum(weights, axis=0, keepdims=True)
             accum = accum + jnp.concatenate([contrib, alpha_sum], axis=0)
             return T_new, accum
@@ -294,7 +297,8 @@ def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
             ], axis=0)
             power = jax.lax.dot_general(
                 coef, basis, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [g, px]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [g, px]
             alpha_raw = jnp.exp(power + ln_op.reshape(g, 1))
             alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
             kill = power > 0.0
@@ -322,12 +326,14 @@ def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
             # phi_i = f_i . g_feat + g_alpha           [g, px]
             phi = jax.lax.dot_general(
                 ft, g_feat, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) + g_alpha
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + g_alpha
             pi = w * phi
             # inclusive prefix along sublanes via the tri matmul
             prefix_i = prefix + jax.lax.dot_general(
                 tri, pi, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             prefix_new = prefix + jnp.sum(pi, axis=0, keepdims=True)
             S = total - prefix_i
             d_alpha = jnp.where(
@@ -341,7 +347,8 @@ def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
             d_op = jnp.where(ln_op > -1e29, d_lnop * jnp.exp(-ln_op), 0.0)
             d_coef = jax.lax.dot_general(
                 da_dpower, basis, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [g, 8]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [g, 8]
             dcf = d_coef.T                               # [8, g]
             dc0 = -0.5 * mx * mx * dcf[0:1] + mx * dcf[1:2] - 0.5 * dcf[3:4]
             dc1 = (-mx * my * dcf[0:1] + my * dcf[1:2] + mx * dcf[2:3]
@@ -354,7 +361,8 @@ def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
             # d_ft[c, i] = sum_px g_feat[c, px] * w[i, px]
             d_ft = jax.lax.dot_general(
                 g_feat, w, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [c_feat, g]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [c_feat, g]
 
             d_rows = jnp.concatenate([
                 dmx, dmy, dc0, dc1, dc2, d_op,
@@ -491,7 +499,8 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
             ], axis=0)                          # [8, g]
             power = jax.lax.dot_general(
                 coef, basis, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [g, px]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [g, px]
             alpha = jnp.exp(power + ln_op.reshape(g, 1))
             alpha = jnp.minimum(MAX_ALPHA, alpha)
             kill = power > 0.0
@@ -516,7 +525,8 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
 
             contrib = jax.lax.dot_general(
                 ft, weights, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             alpha_sum = jnp.sum(weights, axis=0, keepdims=True)
             accum = accum + jnp.concatenate([contrib, alpha_sum], axis=0)
             return T_new, accum
@@ -683,7 +693,8 @@ def _cell_kernel(rows_ref, bg_ref, out_ref, *, cell: int, kc: int, g: int,
             ], axis=0)
             power = jax.lax.dot_general(
                 coef, basis, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [g, px]
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)      # [g, px]
             alpha = jnp.minimum(MAX_ALPHA, jnp.exp(power + ln_op.reshape(g, 1)))
             kill = power > 0.0
             if hard_cutoffs:
@@ -707,7 +718,8 @@ def _cell_kernel(rows_ref, bg_ref, out_ref, *, cell: int, kc: int, g: int,
 
             contrib = jax.lax.dot_general(
                 ft, weights, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             alpha_sum = jnp.sum(weights, axis=0, keepdims=True)
             accum = accum + jnp.concatenate([contrib, alpha_sum], axis=0)
             return T_new, accum
