@@ -55,16 +55,23 @@ def _tri_inclusive(g: int) -> jnp.ndarray:
     return (jj <= ii).astype(jnp.float32)
 
 
-def _cumprod_mxu(a: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumprod along sublanes as exp(tri @ log a) — one MXU dot
-    plus two transcendental passes instead of the 2*log2(g) VPU passes of
-    the roll ladder (the largest per-chunk cost). `a` >= 1 - MAX_ALPHA =
-    0.01 by construction, so the log is safe."""
-    cum = jax.lax.dot_general(
-        tri, jnp.log(a), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-    return jnp.exp(cum)
+def _cumsum_sublanes(a: jnp.ndarray, g: int) -> jnp.ndarray:
+    """Inclusive cumsum along axis 0 (sublanes) via log-steps of
+    pltpu.roll + masking. a: [g, px]."""
+    out = a
+    shift = 1
+    while shift < g:
+        rolled = pltpu.roll(out, shift, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, out.shape, 0)
+        out = out + jnp.where(row >= shift, rolled, 0.0)
+        shift *= 2
+    return out
+
+
+# NOTE on cumprod formulations: exp(tri @ log a) on the MXU saved only
+# ~0.3 ms/frame over the roll ladder at default (bf16) matmul precision, and
+# at Precision.HIGHEST the [g, g] @ [g, px] dot costs ~3 ms/frame — while
+# the roll ladder is exact f32 VPU math. The ladder is the keeper.
 
 
 def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
@@ -72,7 +79,6 @@ def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
                       c_feat: int, hard_cutoffs: bool):
     c_out = c_feat + 1
     basis = basis_ref[:]                 # [8, px] ([1,x,y,x2,y2,xy,0,0])
-    tri = _tri_inclusive(g)
     for t in range(tb):
         ox = origin_ref[t, 0]
         oy = origin_ref[t, 1]
@@ -111,7 +117,7 @@ def _composite_kernel(rows_ref, origin_ref, counts_ref, basis_ref, bg_ref,
                 kill = kill | (alpha < ALPHA_MIN)
             alpha = jnp.where(kill, 0.0, alpha)
 
-            cum = _cumprod_mxu(1.0 - alpha, tri)      # T after i (local)
+            cum = _cumprod_sublanes(1.0 - alpha, g)   # T after i (local)
             t_after = T * cum                            # [g, px]
             t_before = T * jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
@@ -264,7 +270,6 @@ def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
                      hard_cutoffs: bool):
     c_out = c_feat + 1
     basis = basis_ref[:]                     # [8, px]
-    tri = _tri_inclusive(g)
     blk = pl.program_id(0)
     for t in range(tb):
         tile = blk * tb + t
@@ -307,7 +312,7 @@ def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
             alpha = jnp.where(kill, 0.0, alpha)
             smooth = (~kill) & (alpha_raw < MAX_ALPHA)
 
-            cum = _cumprod_mxu(1.0 - alpha, tri)
+            cum = _cumprod_sublanes(1.0 - alpha, g)
             t_after = T * cum
             t_before = T * jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
@@ -329,12 +334,10 @@ def _backward_kernel(rows_ref, counts_ref, gout_ref, total_ref, basis_ref,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + g_alpha
             pi = w * phi
-            # inclusive prefix along sublanes via the tri matmul
-            prefix_i = prefix + jax.lax.dot_general(
-                tri, pi, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-            prefix_new = prefix + jnp.sum(pi, axis=0, keepdims=True)
+            # inclusive prefix along sublanes (exact f32 roll ladder)
+            pi_cum = _cumsum_sublanes(pi, g)
+            prefix_i = prefix + pi_cum
+            prefix_new = prefix + pi_cum[g - 1:g, :]
             S = total - prefix_i
             d_alpha = jnp.where(
                 include,
@@ -451,7 +454,6 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
                    tiles_x: int, tile_size: int, hard_cutoffs: bool):
     c_out = c_feat + 1
     basis = basis_ref[:]                        # [8, px]
-    tri = _tri_inclusive(g)
     blk = pl.program_id(0)
     t0 = blk * tb
     for t in range(tb):
@@ -508,7 +510,7 @@ def _stream_kernel(starts_ref, rows_hbm, basis_ref, bg_ref, out_ref,
                 kill = kill | (alpha < ALPHA_MIN)
             alpha = jnp.where(kill, 0.0, alpha)
 
-            cum = _cumprod_mxu(1.0 - alpha, tri)
+            cum = _cumprod_sublanes(1.0 - alpha, g)
             t_after = T * cum
             t_before = T * jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
