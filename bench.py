@@ -17,29 +17,30 @@ import numpy as np
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from langsplat4d.core import state as statelib
-    from langsplat4d.core.transforms import projection_matrix, world_to_view
-    from langsplat4d.field.deformation import DeformConfig, init_deform_params
-    from langsplat4d.render.pipeline import render
-    from langsplat4d.render.raster import CameraParams, RasterSettings
+    """Render FPS measured THROUGH the shipped parity harness: the realistic
+    scene is handed to `langsplat4d.render.driver.render_set` — the exact
+    code path behind `python render.py --mode lang` — and the FPS it prints
+    (reference render.py:95,133-134 semantics) is the reported metric."""
+    import tempfile
 
-    H, W = 1014, 1352                      # Neu3D resolution
+    import jax
+    from langsplat4d.config import Config
+    from langsplat4d.data.cameras import HostCamera
+    from langsplat4d.field.deformation import DeformConfig, init_deform_params
+    from langsplat4d.render.driver import render_set
+    from langsplat4d.train.trainstate import make_train_state
+    from langsplat4d.utils.synth import realistic_gaussians
+
+    H = int(os.getenv("BENCH_H", 1014))     # Neu3D resolution
+    W = int(os.getenv("BENCH_W", 1352))
     n = int(os.getenv("BENCH_N", 200_000))  # within densify bounds 200k-360k
     lang_dim = 3
     frames = int(os.getenv("BENCH_FRAMES", 60))
 
-    rng = np.random.default_rng(0)
-    pts = rng.uniform(-1.2, 1.2, size=(n, 3)).astype(np.float32)
-    cols = rng.uniform(size=(n, 3)).astype(np.float32)
-    cap = statelib.round_capacity(n)
-    # realistic scale distribution: small splats (a trained scene's scales)
-    gs = statelib.create_from_pcd(pts, cols, max_sh_degree=3,
-                                  lang_dim=lang_dim, capacity=cap)
-    scaling = np.full((cap, 3), np.log(0.01), np.float32)
-    lang = rng.normal(size=(cap, lang_dim)).astype(np.float32)
-    gs = gs.replace(scaling=jnp.asarray(scaling), language_feature=jnp.asarray(lang))
+    # Trained-checkpoint-realistic scene: clustered positions, heavy-tailed
+    # log-normal scales, broad opacities (utils/synth.py) — NOT the easy
+    # constant-scale uniform cloud of round 2.
+    gs = realistic_gaussians(n, lang_dim=lang_dim, seed=0)
 
     # Deformation per the Neu3D flagship preset (arguments/neu3d/default.py:
     # out-dim 16, time reso 150, multires [1,2], net_width 128, defor_depth 0,
@@ -50,63 +51,46 @@ def main():
         kplanes_resolution=(64, 64, 64, 150), multires=(1, 2), net_width=128,
         defor_depth=0, no_do=False, no_dshs=False, no_ds=False)
     dparams = init_deform_params(jax.random.PRNGKey(0), dcfg)
-    aabb = jnp.asarray([[1.6] * 3, [-1.6] * 3], jnp.float32)
+    aabb = np.asarray([[2.6] * 3, [-2.6] * 3], np.float32)
+    state = make_train_state(gs, dparams, aabb, active_sh_degree=3)
 
-    Rm = np.eye(3)
-    T = np.array([0.0, 0.0, 4.0])
-    wv = world_to_view(Rm, T).T
-    proj = projection_matrix(0.01, 100.0, 1.0, 0.8).T
-    cam = CameraParams(
-        viewmatrix=jnp.asarray(wv), projmatrix=jnp.asarray(wv @ proj),
-        campos=jnp.asarray(np.linalg.inv(wv)[3, :3]),
-        tanfovx=jnp.asarray(np.tan(0.5), jnp.float32),
-        tanfovy=jnp.asarray(np.tan(0.4), jnp.float32))
-
-    settings = RasterSettings(
-        image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
-        include_feature=True,
-        tile_capacity=int(os.getenv("BENCH_TILE_CAP", 512)),
-        # stream duplicate+sort binning (the shipped driver path on TPU)
-        stream_binning=jax.default_backend() == "tpu")
-    bg = jnp.zeros(3)
-
-    # Fixed scene rendered over a trajectory: the HexPlane spatial-plane
-    # products are time-independent and cached across frames (as the render
-    # driver does).
-    from langsplat4d.field.deformation import make_grid_spatial_cache
-    grid_spatial = jax.jit(make_grid_spatial_cache, static_argnums=(1,))(
-        dparams, dcfg, aabb, gs.xyz)
-
-    @jax.jit
-    def render_frame(t):
-        out = render(settings, dcfg, "fine-lang", cam, t, gs, dparams, aabb,
-                     bg, grid_spatial=grid_spatial)
-        return out["render"], out["language_feature_image"]
-
-    # compile + warm up with a VALUE fetch (axon defers compilation and
-    # execution until a value is pulled; see PERF.md)
-    out = render_frame(jnp.asarray(0.0))
-    assert np.isfinite(float(out[0][0, 0, 0]))
-
-    t0 = time.time()
+    # orbit trajectory around the scene (video-split style), time ramp 0->1
+    fovx, fovy = 1.0, 0.8
+    views = []
     for i in range(frames):
-        out = render_frame(jnp.asarray(i / frames))
-    # force the last frame by value (frames are independent dispatches; the
-    # in-order queue drains them all before the last completes)
-    assert np.isfinite(float(out[0][0, 0, 0]))
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    fps = frames / dt
+        ang = 2.0 * np.pi * i / frames * 0.25
+        Rm = np.array([[np.cos(ang), 0, np.sin(ang)],
+                       [0, 1, 0],
+                       [-np.sin(ang), 0, np.cos(ang)]], np.float64)
+        T = np.array([0.0, 0.0, 4.5])
+        views.append(HostCamera(
+            colmap_id=i, R=Rm, T=T, fovx=fovx, fovy=fovy, image=None,
+            image_name=f"{i:05d}", uid=i, time=i / max(frames - 1, 1),
+            width=W, height=H))
+
+    cfg = Config()
+    cfg.model.model_path = tempfile.mkdtemp(prefix="bench_render_")
+    cfg.model.white_background = False
+    cfg.runtime.only_eval = True   # synthetic scene has no GT features
+    cfg.runtime.language_feature_hiddendim = lang_dim
+
+    class _SceneShim:
+        dataset_type = "dynerf"
+
+    fps = render_set(cfg, state, dcfg, _SceneShim(), "video", 0, views,
+                     mode="lang", load_stage="fine-lang",
+                     noimage=True, nonpy=True, novideo=True)
 
     result = {
-        "metric": "render_fps_neu3d_scale",
+        "metric": "render_fps_neu3d_scale_cli",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
     }
-    train_it_per_s = _bench_train_subprocess()
-    if train_it_per_s is not None:
-        result["train_it_per_s_hypernerf_scale"] = round(train_it_per_s, 2)
+    if "--render-only" not in sys.argv:
+        train_it_per_s = _bench_train_subprocess()
+        if train_it_per_s is not None:
+            result["train_it_per_s_hypernerf_scale"] = round(train_it_per_s, 2)
     print(json.dumps(result))
 
 

@@ -156,8 +156,9 @@ def main(argv=None):
     pre_smooth_frames = 0
     if os.getenv("smooth_video_feature_pre", "f") == "t":
         pre_smooth_frames = int(os.getenv("video_smooth_frames", 2))
-    # use_vae: both branches of the reference's gate call the same MLP decode
-    # (eval/eval.py:613-615, VanillaVAE is dead code) — accepted, no-op.
+    # use_vae=t loads a VanillaVAE checkpoint instead of the MLP AE
+    # (eval/eval.py:577-584,613-615) — load_ckpt sniffs fc_mu keys and the
+    # matching decode is selected below.
 
     json_folder = os.path.join(args.annotation_folder, "train")
     gt_ann, image_shape, image_paths, id2name, name2id, im_id2imidx = \
@@ -181,6 +182,7 @@ def main(argv=None):
 
     ae_params = AE.load_ckpt(args.ae_ckpt_path, args.encoder_hidden_dims,
                              args.decoder_hidden_dims)
+    ae_decode = AE.vae_decode if "fc_mu" in ae_params else AE.decode
     video_decode = None
     name2query_embed = {}
     if args.apply_video_search:
@@ -204,7 +206,7 @@ def main(argv=None):
         if sem_feat.min() > 0:
             sem_feat = sem_feat * 2.0 - 1  # scale back to (-1,1)
         lvl, h, w, _ = sem_feat.shape
-        restored = np.asarray(AE.decode(
+        restored = np.asarray(ae_decode(
             ae_params, jnp.asarray(sem_feat.reshape(-1, args.feat_dim))))
         restored = restored.reshape(lvl, h, w, -1)
 

@@ -33,7 +33,11 @@ def main(argv=None):
     p.add_argument("--language_name", type=str, default=None)
     p.add_argument("--output_name", type=str, default=None)
     p.add_argument("--ckpt_dir", type=str, default="ckpt")
+    p.add_argument("--latent_dim", type=int, default=9,
+                   help="VanillaVAE latent width (reference test.py:77)")
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
+    use_vae = os.getenv("use_vae", "f") == "t"
 
     if args.language_name is None:
         data_dir = os.path.join(args.dataset_path, "language_features")
@@ -59,10 +63,26 @@ def main(argv=None):
                          args.feature_dims)
     data, data_dic = load_feature_dataset(data_dir)
 
-    encode = jax.jit(lambda x: M.encode(params, x, train=False)[0])
-    outs = []
-    for i in range(0, len(data), 256):
-        outs.append(np.asarray(encode(jnp.asarray(data[i:i + 256]))))
+    if use_vae:
+        # VanillaVAE export path (reference test.py:77-90): the compressed
+        # feature is the L2-normalized reparameterized sample
+        key = jax.random.PRNGKey(args.seed)
+
+        def encode_batch(k, x):
+            mu, log_var, _ = M.vae_encode(params, x, train=False)
+            return M.vae_reparameterize(k, mu, log_var)
+
+        encode_jit = jax.jit(encode_batch)
+        outs = []
+        for i in range(0, len(data), 256):
+            key, sub = jax.random.split(key)
+            outs.append(np.asarray(encode_jit(sub,
+                                              jnp.asarray(data[i:i + 256]))))
+    else:
+        encode = jax.jit(lambda x: M.encode(params, x, train=False)[0])
+        outs = []
+        for i in range(0, len(data), 256):
+            outs.append(np.asarray(encode(jnp.asarray(data[i:i + 256]))))
     features = np.concatenate(outs, axis=0)
 
     start = 0

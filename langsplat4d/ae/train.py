@@ -41,9 +41,15 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", type=str, default="ckpt")
     p.add_argument("--eval_from_epoch", type=int, default=90)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--latent_dim", type=int, default=9,
+                   help="VanillaVAE latent width (use_vae=t)")
+    p.add_argument("--kld_weight", type=float, default=0.00025,
+                   help="VanillaVAE KL weight (loss_function M_N)")
     args = p.parse_args(argv)
+    use_vae = os.getenv("use_vae", "f") == "t"
 
-    assert args.hidden_dims == args.encoder_dims[-1]
+    if not use_vae:
+        assert args.hidden_dims == args.encoder_dims[-1]
     assert args.feature_dims == args.decoder_dims[-1]
 
     data_dir = os.path.join(args.dataset_path,
@@ -61,11 +67,24 @@ def main(argv=None):
     logger.info(f"AE training on {len(train_data)} features "
                 f"({args.feature_dims}->{args.hidden_dims})")
 
-    params = M.init_ae(jax.random.PRNGKey(args.seed), args.encoder_dims,
-                       args.decoder_dims, args.feature_dims)
+    rng_key = jax.random.PRNGKey(args.seed + 1)
+    if use_vae:
+        params = M.init_vae(jax.random.PRNGKey(args.seed), args.encoder_dims,
+                            args.decoder_dims, args.latent_dim,
+                            args.feature_dims)
+    else:
+        params = M.init_ae(jax.random.PRNGKey(args.seed), args.encoder_dims,
+                           args.decoder_dims, args.feature_dims)
     opt = adam_init(params)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, key):
+        if use_vae:
+            # MSE + weighted KLD (VanillaVAE.loss_function, model.py:198-219)
+            recon, mu, log_var, new_params = M.vae_forward(key, params, batch,
+                                                           train=True)
+            loss, recons, kld = M.vae_loss(recon, batch, mu, log_var,
+                                           args.kld_weight)
+            return loss, (new_params, recons, kld)
         out, new_params = M.forward(params, batch, train=True)
         l2 = jnp.mean((out - batch) ** 2)
         cos = 1.0 - jnp.mean(jnp.sum(out * batch, -1) / (
@@ -74,9 +93,9 @@ def main(argv=None):
         return l2 + cos * args.cos_weight, (new_params, l2, cos)
 
     @jax.jit
-    def train_batch(params, opt, batch):
+    def train_batch(params, opt, batch, key):
         (loss, (new_params, l2, cos)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch)
+            loss_fn, has_aux=True)(params, batch, key)
         lr_tree = jax.tree.map(lambda _: jnp.asarray(args.lr), grads)
         tr_tree = jax.tree.map(lambda _: True, grads)
         upd_params, new_opt = adam_update(params, grads, opt, lr_tree,
@@ -90,7 +109,13 @@ def main(argv=None):
 
     @jax.jit
     def eval_batch(params, batch):
-        out, _ = M.forward(params, batch, train=False)
+        if use_vae:
+            # deterministic eval: decode the normalized mean latent
+            from langsplat4d.core.transforms import safe_normalize
+            mu, _, _ = M.vae_encode(params, batch, train=False)
+            out = M.vae_decode(params, safe_normalize(mu))
+        else:
+            out, _ = M.forward(params, batch, train=False)
         l2 = jnp.mean((out - batch) ** 2)
         cos = 1.0 - jnp.mean(jnp.sum(out * batch, -1) / (
             jnp.linalg.norm(out, axis=-1)
@@ -103,12 +128,14 @@ def main(argv=None):
     for epoch in range(args.num_epochs):
         perm = rng.permutation(n)
         for i in range(0, n - bs + 1, bs):
+            rng_key, sub = jax.random.split(rng_key)
             batch = jnp.asarray(train_data[perm[i:i + bs]])
-            params, opt, loss, l2, cos = train_batch(params, opt, batch)
+            params, opt, loss, l2, cos = train_batch(params, opt, batch, sub)
         tail = n % bs
         if tail:
+            rng_key, sub = jax.random.split(rng_key)
             batch = jnp.asarray(train_data[perm[n - tail:]])
-            params, opt, loss, l2, cos = train_batch(params, opt, batch)
+            params, opt, loss, l2, cos = train_batch(params, opt, batch, sub)
 
         if epoch > args.eval_from_epoch:
             tot = 0.0

