@@ -23,6 +23,8 @@ def main():
     (reference render.py:95,133-134 semantics) is the reported metric."""
     import tempfile
 
+    from langsplat4d.utils.platform import apply_platform_env
+    apply_platform_env()   # honor JAX_PLATFORMS=cpu (axon ignores the env var)
     import jax
     from langsplat4d.config import Config
     from langsplat4d.data.cameras import HostCamera
@@ -118,6 +120,8 @@ def _bench_train_step():
     Adam) at HyperNeRF scale — 536x960, ~100k Gaussians, batch 1 (the PERF.md
     'Training throughput' workload, made driver-visible). Steps are chained
     on device with one sync at the end (PERF.md sync-latency pitfall)."""
+    from langsplat4d.utils.platform import apply_platform_env
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
     from langsplat4d.core import state as statelib

@@ -49,6 +49,19 @@ def _write_images(images: List[np.ndarray], path: str) -> None:
         list(ex.map(lambda t: write_one(*t), enumerate(images)))
 
 
+def _make_render_one(settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
+                     grid_spatial, mode):
+    """Jitted single-frame render closure (rebuilt when tiers are retuned)."""
+    @jax.jit
+    def render_one(camp, t):
+        out = render(settings, dcfg, load_stage, camp, t, gs, deform, aabb, bg,
+                     nonormalized=cfg.runtime.nonormalized,
+                     grid_spatial=grid_spatial)
+        key = "render" if mode == "rgb" else "language_feature_image"
+        return out[key]
+    return render_one
+
+
 def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
                scene: Scene, name: str, iteration: int, views,
                mode: str = "rgb", load_stage: str = "fine-lang",
@@ -95,37 +108,61 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         grid_spatial = jax.jit(make_grid_spatial_cache,
                                static_argnums=(1,))(deform, dcfg, aabb, gs.xyz)
 
-    @jax.jit
-    def render_one(camp, t):
-        out = render(settings, dcfg, load_stage, camp, t, gs, deform, aabb, bg,
-                     nonormalized=cfg.runtime.nonormalized,
-                     grid_spatial=grid_spatial)
-        key = "render" if mode == "rgb" else "language_feature_image"
-        return out[key]
+    render_one = _make_render_one(settings, dcfg, load_stage, cfg, gs, deform,
+                                  aabb, bg, grid_spatial, mode)
 
     logger.info(f"name:{name} point nums:{int(state.num_active)} "
                 f"len:{len(views)}")
 
-    # warm-up: compile outside the timed region (the CUDA reference has no
-    # compile step; the FPS line measures steady-state throughput)
-    _ = jax.block_until_ready(render_one(views[0].camera_params(),
-                                         jnp.asarray(views[0].time)))
-
     if settings.stream_binning:
-        # stream tier-capacity audit on the first view: clipping would be
-        # silent in the hot path (render/stream.py tiers are static)
+        # Autotune the stream tiers from the scene's measured span
+        # distribution BEFORE compiling the hot loop: the CUDA reference
+        # sizes its duplicate+sort buffers dynamically per frame; the XLA
+        # analogue is a once-per-scene retune (host sync + recompile here,
+        # zero cost in the timed loop) that guarantees every Gaussian a
+        # tier covering its full rect — exact on any scene, not only ones
+        # whose span distribution matches the static defaults.
+        import dataclasses
         from langsplat4d.core.transforms import safe_normalize
-        from langsplat4d.render.stream import stream_overflow
+        from langsplat4d.render.stream import autotune_tiers, stream_overflow
         from langsplat4d.render.raster import preprocess
         try:
             # canonical (undeformed) attributes approximate the deformed
-            # span distribution well enough for a capacity audit
+            # span distribution; autotune margins absorb the difference
             prep = preprocess(
                 settings, views[0].camera_params(), gs.xyz,
                 jnp.zeros((gs.capacity, 2)), jax.nn.sigmoid(gs.opacity),
                 jnp.exp(gs.scaling), safe_normalize(gs.rotation), None,
                 colors_precomp=jnp.zeros((gs.capacity, 3)),
                 active=gs.active_mask())
+            rmin = np.asarray(prep["rect_min"])
+            rmax = np.asarray(prep["rect_max"])
+            vism = np.asarray(prep["visible"])
+            sx = (rmax[:, 0] - rmin[:, 0])[vism]
+            sy = (rmax[:, 1] - rmin[:, 1])[vism]
+            spans = np.maximum(sx, sy)
+            tiers = autotune_tiers(spans)
+            # exact (Gaussian, tile) pair count sizes the narrow-sort row
+            # budget; margin absorbs deformation-induced span drift
+            pairs = int((sx * sy).sum())
+            budget = -(-int(pairs * 1.25) // 8192) * 8192
+            narrow = (gs.capacity <= (1 << 18)
+                      and settings.num_tiles < (1 << 14))
+            if (tiers != settings.stream_tiers
+                    or (narrow and not settings.stream_narrow_sort)):
+                logger.info(
+                    f"stream tiers autotuned to {tiers} (span p100="
+                    f"{int(spans.max()) if spans.size else 0}, pairs "
+                    f"{pairs}, narrow={narrow} budget={budget})")
+                settings = dataclasses.replace(
+                    settings, stream_tiers=tiers,
+                    stream_narrow_sort=narrow,
+                    stream_budget=budget if narrow else 0)
+                render_one = _make_render_one(settings, dcfg, load_stage, cfg,
+                                              gs, deform, aabb, bg,
+                                              grid_spatial, mode)
+            # safety net: the autotuned ladder must not clip (deformation
+            # can shift spans slightly; margins should absorb it)
             ov = stream_overflow(settings, prep, tiers=settings.stream_tiers)
             for i, (span, cap) in enumerate(settings.stream_tiers):
                 need = int(ov[f"tier{i + 2}_needed"])
@@ -140,7 +177,12 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
                     f"last stream tier ({settings.stream_tiers[-1][0]} "
                     "tiles); raise stream_tiers for exact rendering.")
         except Exception as e:  # diagnostics must never break rendering
-            logger.warning(f"stream overflow audit skipped: {e}")
+            logger.warning(f"stream tier autotune skipped: {e}")
+
+    # warm-up: compile outside the timed region (the CUDA reference has no
+    # compile step; the FPS line measures steady-state throughput)
+    _ = jax.block_until_ready(render_one(views[0].camera_params(),
+                                         jnp.asarray(views[0].time)))
 
     gt_nonorm_list: List[Optional[np.ndarray]] = []
     gt_list: List[Optional[np.ndarray]] = []

@@ -112,6 +112,19 @@ class RasterSettings:
     # is linear in emitted slots, so spans should hug the scene's splat-size
     # distribution (stream_overflow reports per-tier demand)
     stream_tiers: tuple = ((3, 32768), (6, 4096), (16, 256))
+    # Narrow-sort stream build (render/stream.py build_stream_narrow): sort
+    # only (packed tile|depth-rank key, src) and materialize the packed rows
+    # with one budgeted Morton-local row gather afterwards — the sort cost
+    # no longer scales with the 12 payload columns, which is what makes
+    # EXACT (autotuned-tier) coverage affordable on trained-checkpoint
+    # span distributions. stream_budget bounds the gathered row count
+    # (driver sizes it from the audited pair count; 0 = disabled).
+    stream_narrow_sort: bool = False
+    stream_budget: int = 0
+    # Invalidate emitted slots whose tile lies wholly outside the
+    # alpha >= 1/255 ellipse (exactness-preserving: the compositor applies
+    # the same cutoff per pixel).
+    stream_ellipse_cull: bool = True
     # Analytic custom-VJP compositing for training (hand-derived backward,
     # ~2x faster than autodiff through the scan; gradient-equality tested).
     analytic_vjp: bool = True
@@ -768,10 +781,16 @@ def _composite_stream(settings: RasterSettings, prep, features, bg):
     """Stream-binned Pallas compositing (render/stream.py + the
     ragged-segment kernel): no per-tile lists, no pack gather."""
     from langsplat4d.ops.tile_composite import composite_stream_pallas
-    from langsplat4d.render.stream import build_stream
+    from langsplat4d.render.stream import build_stream, build_stream_narrow
     ts = settings.tile_size
-    rows, starts, _ = build_stream(settings, prep, features,
-                                   tiers=settings.stream_tiers)
+    if settings.stream_narrow_sort and settings.stream_budget > 0:
+        rows, starts, _ = build_stream_narrow(
+            settings, prep, features, tiers=settings.stream_tiers,
+            budget=settings.stream_budget,
+            ellipse_cull=settings.stream_ellipse_cull)
+    else:
+        rows, starts, _ = build_stream(settings, prep, features,
+                                       tiers=settings.stream_tiers)
     out = composite_stream_pallas(
         rows, starts, bg, tiles_x=settings.tiles_x,
         num_tiles=settings.num_tiles, tile_size=ts,

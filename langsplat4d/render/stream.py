@@ -35,6 +35,10 @@ import jax.numpy as jnp
 
 PW = 16  # sublane-padded packed-row height shared with ops/tile_composite
 
+RANK_BITS = 18          # depth-rank bits in the packed narrow-sort key
+RANK_CAP = 1 << RANK_BITS
+KEY_SENTINEL = jnp.uint32(0xFFFFFFFF)   # invalid slots sort to the end
+
 
 def build_stream(
     settings,
@@ -141,6 +145,245 @@ def build_stream(
     starts = jnp.searchsorted(
         s_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(jnp.int32)
     return rows, starts, starts[num_tiles]
+
+
+def _tile_min_quad(A, B, C, cx, cy, x0, x1, y0, y1):
+    """Min of q(x,y) = A(x-cx)^2 + 2B(x-cx)(y-cy) + C(y-cy)^2 over the pixel
+    rect [x0,x1]x[y0,y1], vectorized. Exact for PSD conics: 0 if the center
+    is inside; otherwise the min lies on the boundary — evaluate the four
+    clamped edge minima (1-D quadratic argmin clamped to the edge)."""
+    inside = (cx >= x0) & (cx <= x1) & (cy >= y0) & (cy <= y1)
+
+    def edge_x(xe):
+        dx = xe - cx
+        ys = cy - B * dx / jnp.maximum(C, 1e-12)
+        dy = jnp.clip(ys, y0, y1) - cy
+        return A * dx * dx + 2 * B * dx * dy + C * dy * dy
+
+    def edge_y(ye):
+        dy = ye - cy
+        xs = cx - B * dy / jnp.maximum(A, 1e-12)
+        dx = jnp.clip(xs, x0, x1) - cx
+        return A * dx * dx + 2 * B * dx * dy + C * dy * dy
+
+    m = jnp.minimum(jnp.minimum(edge_x(x0), edge_x(x1)),
+                    jnp.minimum(edge_y(y0), edge_y(y1)))
+    return jnp.where(inside, 0.0, m)
+
+
+def _morton_u32(tx: jnp.ndarray, ty: jnp.ndarray) -> jnp.ndarray:
+    """Interleave two 8-bit tile coordinates into a Morton (Z-order) code:
+    consecutive codes are spatially adjacent tiles, so Gaussians sorted by
+    the code land near their tile-segment neighbours in the row table —
+    which is what makes the budgeted row-gather cache-friendly."""
+    def spread(v):
+        v = v.astype(jnp.uint32) & 0xFF
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x3333)
+        v = (v | (v << 1)) & jnp.uint32(0x5555)
+        return v
+    return spread(tx) | (spread(ty) << 1)
+
+
+def build_stream_narrow(
+    settings,
+    prep: Dict[str, jnp.ndarray],
+    features: jnp.ndarray,       # [N, L]
+    *,
+    tiers: Tuple[Tuple[int, int], ...],
+    budget: int,
+    ellipse_cull: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Narrow-sort stream build: -> (rows [16, budget], starts [T+1], n_valid).
+
+    The classic `build_stream` carries all 12 packed attribute columns
+    through the global (tile, depth) sort; at exact-coverage emission counts
+    (~3-4M slots on trained-checkpoint-realistic scenes) the sort dominates
+    the frame. This variant sorts TWO columns only:
+
+      key  = tile << 18 | depth_rank   (u32; depth_rank = position in a
+             pre-sorted depth order of the N Gaussians — a bijection of
+             depth, so (tile, rank) lex order == (tile, depth) lex order,
+             ties broken arbitrarily exactly like the CUDA radix sort)
+      src  = the Gaussian's position in a Morton-reordered row table
+
+    and materializes the packed rows afterwards with ONE budgeted row
+    gather `table[src[:budget]]` — Morton ordering makes the gather's
+    source rows for any tile segment nearly contiguous. Invalid slots get
+    KEY_SENTINEL and sort past the budget. `ellipse_cull` additionally
+    invalidates rect slots whose tile lies entirely outside the alpha >=
+    1/255 ellipse (min of the conic quadratic over the tile's pixel rect
+    > 2*ln(255*op)) — those entries contribute nothing in the compositor
+    (same cutoff), so culling them preserves exactness bit-for-bit while
+    shortening segments.
+
+    Requires capacity <= 2^18 and num_tiles < 2^14 (u32 key packing);
+    callers fall back to the classic path otherwise.
+    """
+    prep = jax.lax.stop_gradient(prep)
+    features = jax.lax.stop_gradient(features)
+    n = prep["depth"].shape[0]
+    num_tiles = settings.num_tiles
+    tiles_x = settings.tiles_x
+    ts = settings.tile_size
+    if n > RANK_CAP or num_tiles >= (1 << 14):
+        raise ValueError(
+            f"narrow stream build needs capacity<=2^18 and tiles<2^14 "
+            f"(got {n}, {num_tiles}); use the classic build")
+
+    rmin = prep["rect_min"].astype(jnp.int32)
+    rmax = prep["rect_max"].astype(jnp.int32)
+    vis = prep["visible"]
+    depth = prep["depth"]
+    span_x = rmax[:, 0] - rmin[:, 0]
+    span_y = rmax[:, 1] - rmin[:, 1]
+
+    # ---- depth ranks: rank[g] = position of g in front-to-back order ----
+    big = jnp.where(vis, depth, jnp.inf)
+    dorder = jnp.argsort(big)
+    rank = jnp.zeros(n, jnp.uint32).at[dorder].set(
+        jnp.arange(n, dtype=jnp.uint32))
+
+    # ---- Morton-ordered row table ----
+    tx_c = jnp.clip((prep["point_image"][:, 0] / ts).astype(jnp.int32),
+                    0, tiles_x - 1)
+    ty_c = jnp.clip((prep["point_image"][:, 1] / ts).astype(jnp.int32),
+                    0, settings.tiles_y - 1)
+    morder = jnp.argsort(_morton_u32(tx_c, ty_c))
+    mpos = jnp.zeros(n, jnp.int32).at[morder].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    ln_op = jnp.log(jnp.maximum(prep["opacity"], 1e-30))
+    L = features.shape[1]
+    packed = jnp.zeros((n, PW), jnp.float32)
+    packed = packed.at[:, 0].set(prep["point_image"][:, 0])
+    packed = packed.at[:, 1].set(prep["point_image"][:, 1])
+    packed = packed.at[:, 2].set(prep["conic"][:, 0])
+    packed = packed.at[:, 3].set(prep["conic"][:, 1])
+    packed = packed.at[:, 4].set(prep["conic"][:, 2])
+    packed = packed.at[:, 5].set(ln_op)
+    packed = packed.at[:, 8].set(prep["colors"][:, 0])
+    packed = packed.at[:, 9].set(prep["colors"][:, 1])
+    packed = packed.at[:, 10].set(prep["colors"][:, 2])
+    for i in range(L):
+        packed = packed.at[:, 11 + i].set(features[:, i])
+    packed = packed.at[:, 11 + L].set(depth)
+    table = packed[morder]                     # [N, 16] Morton-ordered
+
+    # ellipse-cull threshold: alpha >= 1/255 iff q <= 2*ln(255*op)
+    t2 = 2.0 * jnp.log(jnp.maximum(255.0 * prep["opacity"], 1.0))
+    conic = prep["conic"]
+    pix = prep["point_image"]
+
+    import numpy as np
+
+    key_parts, src_parts = [], []
+
+    def emit(idx, active, slots):
+        """Emit one tier's slots as (key, src) pairs; idx=None = all rows."""
+        if idx is None:
+            r0x, r0y = rmin[:, 0], rmin[:, 1]
+            r1x, r1y = rmax[:, 0], rmax[:, 1]
+            d_rank, d_src = rank, mpos
+            cA, cB, cC = conic[:, 0], conic[:, 1], conic[:, 2]
+            px, py, tt2 = pix[:, 0], pix[:, 1], t2
+        else:
+            r0x, r0y = rmin[idx, 0], rmin[idx, 1]
+            r1x, r1y = rmax[idx, 0], rmax[idx, 1]
+            d_rank, d_src = rank[idx], mpos[idx]
+            cA, cB, cC = (conic[idx, 0], conic[idx, 1], conic[idx, 2])
+            px, py, tt2 = pix[idx, 0], pix[idx, 1], t2[idx]
+        dxs = jnp.asarray(np.array([s[0] for s in slots], np.int32))[:, None]
+        dys = jnp.asarray(np.array([s[1] for s in slots], np.int32))[:, None]
+        txs = r0x[None, :] + dxs                       # [S, B]
+        tys = r0y[None, :] + dys
+        ok = active[None, :] & (txs < r1x[None, :]) & (tys < r1y[None, :])
+        if ellipse_cull:
+            q = _tile_min_quad(
+                cA[None, :], cB[None, :], cC[None, :], px[None, :],
+                py[None, :],
+                txs * float(ts), txs * float(ts) + (ts - 1.0),
+                tys * float(ts), tys * float(ts) + (ts - 1.0))
+            ok = ok & (q <= tt2[None, :])
+        key = (txs + tys * tiles_x).astype(jnp.uint32) << RANK_BITS
+        key = key | d_rank[None, :]
+        key_parts.append(jnp.where(ok, key, KEY_SENTINEL).reshape(-1))
+        src_parts.append(jnp.broadcast_to(
+            d_src[None, :], ok.shape).reshape(-1))
+
+    t1_slots = [(dx, dy) for dy in range(2) for dx in range(2)]
+    emit(None, vis, t1_slots)
+
+    prev_span = 2
+    for span_i, count_i in tiers:
+        bigm = vis & ((span_x > prev_span) | (span_y > prev_span))
+        area_i = jnp.where(bigm, span_x * span_y, -1)
+        _, idx_i = jax.lax.top_k(area_i, min(count_i, n))
+        sel_i = area_i[idx_i] > 0
+        slots_i = [(dx, dy) for dy in range(span_i) for dx in range(span_i)
+                   if not (dx < prev_span and dy < prev_span)]
+        emit(idx_i, sel_i, slots_i)
+        prev_span = span_i
+
+    key_all = jnp.concatenate(key_parts)
+    src_all = jnp.concatenate(src_parts)
+    n_valid = jnp.sum(key_all != KEY_SENTINEL).astype(jnp.int32)
+
+    k_sorted, s_sorted = jax.lax.sort((key_all, src_all), num_keys=1)
+    budget = min(int(budget), int(key_all.shape[0]))
+    k_b = k_sorted[:budget]
+    s_b = s_sorted[:budget]
+
+    rows = table[s_b].T                        # [16, budget]
+    bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS)
+    starts = jnp.searchsorted(k_b, bounds).astype(jnp.int32)
+    return rows, starts, n_valid
+
+
+#: candidate tier spans for autotuning, finest-first. A finer ladder wastes
+#: fewer emitted slots (a span-4 Gaussian in a span-6 tier emits 6^2-2^2=32
+#: slots for <=16 covered tiles); the cost of more rungs is only more
+#: (tiny) top_k calls at build time.
+TIER_LADDER = (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64, 80, 96)
+
+
+def _round_cap(x: float, granule: int = 1024, min_cap: int = 256) -> int:
+    import math
+    return max(min_cap, int(math.ceil(x / granule)) * granule)
+
+
+def autotune_tiers(spans: "np.ndarray", *, margin: float = 1.35,
+                   min_cap: int = 256) -> Tuple[Tuple[int, int], ...]:
+    """Derive stream tiers from a measured span distribution (host-side).
+
+    `spans` = per-visible-Gaussian tile span (max of x/y rect extent). For
+    each ladder rung the capacity is the margin-padded, granule-rounded
+    count of Gaussians whose span exceeds the previous rung — every Gaussian
+    is guaranteed a tier that fully covers its rect, so rendering is EXACT
+    on the audited scene (the CUDA reference gets the same guarantee from
+    dynamic allocation; static XLA shapes get it from this once-per-scene
+    retune + recompile). Rungs beyond the observed max span are dropped.
+    """
+    import numpy as np
+    spans = np.asarray(spans)
+    max_span = int(spans.max()) if spans.size else 2
+    tiers = []
+    prev = 2
+    for s in TIER_LADDER:
+        if prev >= max_span:
+            break
+        demand = int((spans > prev).sum())
+        if demand == 0:
+            break
+        # capacity covers ALL spans > prev (not just this rung's band): a
+        # bigger-span Gaussian must be selected at EVERY rung up to its own
+        # (build_stream accumulates nested rects), and top_k picks the
+        # largest areas first
+        tiers.append((s, _round_cap(demand * margin, min_cap=min_cap)))
+        prev = s
+    if not tiers:
+        return ((3, min_cap),)
+    return tuple(tiers)
 
 
 def stream_overflow(settings, prep, *,

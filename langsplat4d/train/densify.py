@@ -49,11 +49,35 @@ def _grads(state: TrainState) -> jnp.ndarray:
     return jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
 
 
+def _constrain_gauss_rows(tree):
+    """Re-assert gauss-axis row sharding when a ('data','gauss') mesh is
+    ambient; identity otherwise. The order-changing gathers/scatters below
+    otherwise let the SPMD partitioner silently replicate the per-Gaussian
+    rows (caught by __graft_entry__.dryrun_multichip's sharding assertions —
+    the jit cache keys on the ambient mesh, so both variants coexist)."""
+    try:
+        from jax._src import mesh as mesh_lib  # thread-local mesh context
+        env_mesh = mesh_lib.thread_resources.env.physical_mesh
+    except Exception:  # internal API moved: degrade to no constraint
+        return tree
+    from langsplat4d.parallel.mesh import GAUSS_AXIS
+    if env_mesh.empty or GAUSS_AXIS not in env_mesh.axis_names:
+        return tree
+    from jax.sharding import PartitionSpec as P
+
+    def c(x):
+        return jax.lax.with_sharding_constraint(
+            x, P(GAUSS_AXIS, *([None] * (x.ndim - 1))))
+
+    return jax.tree.map(c, tree)
+
+
 def _gather_rows(state: TrainState, order: jnp.ndarray,
                  num_active: jnp.ndarray) -> TrainState:
     """Permute all per-Gaussian rows (params, Adam moments, aux) by `order`."""
     def permute(tree):
-        return {k: (v[order] if k in GAUSSIAN_KEYS else v)
+        return {k: (_constrain_gauss_rows(v[order]) if k in GAUSSIAN_KEYS
+                    else v)
                 for k, v in tree.items()}
 
     return state.replace(
@@ -61,11 +85,14 @@ def _gather_rows(state: TrainState, order: jnp.ndarray,
         opt=state.opt.replace(m=permute(state.opt.m),
                               v=permute(state.opt.v)),
         num_active=num_active.astype(jnp.int32),
-        max_radii2d=state.max_radii2d[order],
-        xyz_gradient_accum=state.xyz_gradient_accum[order],
-        denom=state.denom[order],
-        deformation_table=state.deformation_table[order],
-        deformation_accum=state.deformation_accum[order],
+        max_radii2d=_constrain_gauss_rows(state.max_radii2d[order]),
+        xyz_gradient_accum=_constrain_gauss_rows(
+            state.xyz_gradient_accum[order]),
+        denom=_constrain_gauss_rows(state.denom[order]),
+        deformation_table=_constrain_gauss_rows(
+            state.deformation_table[order]),
+        deformation_accum=_constrain_gauss_rows(
+            state.deformation_accum[order]),
     )
 
 
@@ -127,7 +154,8 @@ def _append_rows(state: TrainState, new_rows, sel_rank: jnp.ndarray,
         out = {}
         for k, v in tree.items():
             if k in GAUSSIAN_KEYS:
-                out[k] = v.at[target].set(rows[k], mode="drop")
+                out[k] = _constrain_gauss_rows(
+                    v.at[target].set(rows[k], mode="drop"))
             else:
                 out[k] = v
         return out
@@ -218,8 +246,11 @@ def reset_opacity(state: TrainState) -> TrainState:
     new_op = inverse_sigmoid(jnp.minimum(op, 0.01))
     params = dict(state.params,
                   opacity=jnp.where(active, new_op, state.params["opacity"]))
-    m = dict(state.opt.m, opacity=jnp.zeros_like(state.opt.m["opacity"]))
-    v = dict(state.opt.v, opacity=jnp.zeros_like(state.opt.v["opacity"]))
+    # fresh zeros default to replicated under a mesh — keep the row sharding
+    m = dict(state.opt.m, opacity=_constrain_gauss_rows(
+        jnp.zeros_like(state.opt.m["opacity"])))
+    v = dict(state.opt.v, opacity=_constrain_gauss_rows(
+        jnp.zeros_like(state.opt.v["opacity"])))
     return state.replace(params=params, opt=state.opt.replace(m=m, v=v))
 
 
@@ -229,3 +260,60 @@ def densify(state: TrainState, max_grad, extent, percent_dense,
     the loop, as in the reference (train.py:399-406)."""
     state = densify_and_clone(state, max_grad, extent, percent_dense)
     return densify_and_split(state, max_grad, extent, percent_dense, rng_key)
+
+
+@jax.jit
+def _grow_append(state: TrainState, sel: jnp.ndarray,
+                 new_xyz: jnp.ndarray) -> TrainState:
+    rank = jnp.cumsum(sel) - 1
+    rows = {k: state.params[k] for k in GAUSSIAN_KEYS}
+    rows = dict(rows, xyz=new_xyz)
+    out = _append_rows(state, rows, rank, sel, jnp.zeros((), jnp.int32))
+    n_new = jnp.minimum(state.num_active + jnp.sum(sel), state.capacity)
+    return out.replace(num_active=n_new.astype(jnp.int32))
+
+
+def grow(state: TrainState, density_threshold: float = 5.0,
+         displacement_scale: float = 5.0, seed: int = 0,
+         voxel_size: float = 8.0):
+    """Point growing (reference GaussianModel.grow + add_point_by_mask +
+    get_displayment, gaussian_model.py:632-713; the torch path is
+    gated-off-and-broken — its imports are commented out at :25 — this is the
+    working equivalent behind `opt.add_point`, train.py:409-410).
+
+    Voxel-downsample the active cloud, detect low-density points (mean 3-NN
+    squared distance > threshold), clone their attributes at
+    randomly-displaced positions clipped to the scene AABB. Host-side
+    detection (runs every densification_interval, not per step) + one jitted
+    fixed-shape append. Returns (state, num_added)."""
+    import numpy as np
+    from langsplat4d.ops.point_utils import grow_points
+
+    n = int(state.num_active)
+    if n == 0:
+        return state, 0
+    pts = np.asarray(state.params["xyz"][:n]).astype(np.float32)
+    sel_local, _ = grow_points(pts, density_threshold, displacement_scale,
+                               voxel_size=voxel_size)
+    sel_idx = np.nonzero(sel_local)[0]
+    if sel_idx.size == 0:
+        return state, 0
+    rng = np.random.default_rng(seed)
+    disp = rng.normal(size=(sel_idx.size, 3)).astype(np.float32) \
+        * displacement_scale
+    new_xyz = pts[sel_idx] + disp
+    aabb = np.asarray(state.aabb)     # [0]=max, [1]=min (set_aabb convention)
+    inside = ((new_xyz < aabb[0]) & (new_xyz > aabb[1])).all(axis=1)
+    sel_idx, new_xyz = sel_idx[inside], new_xyz[inside]
+    # fixed-capacity design: only headroom rows can be appended (the
+    # reference reallocs; we drop overflow and report the true count)
+    headroom = state.capacity - n
+    sel_idx, new_xyz = sel_idx[:headroom], new_xyz[:headroom]
+    if sel_idx.size == 0:
+        return state, 0
+    mask = np.zeros(state.capacity, bool)
+    mask[sel_idx] = True
+    xyz_full = np.asarray(state.params["xyz"]).copy()
+    xyz_full[sel_idx] = new_xyz
+    out = _grow_append(state, jnp.asarray(mask), jnp.asarray(xyz_full))
+    return out, int(sel_idx.size)

@@ -351,6 +351,7 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
     # with <=9 iterations of lag — it re-execs the whole process anyway.
     host_n_active = int(state.num_active)
     pending_losses: List[tuple] = []   # (iteration, device scalar)
+    grow_ctx = {"density_threshold": 5.0, "displacement_scale": 5.0}
 
     def drain_losses() -> float:
         nonlocal ema_loss
@@ -467,6 +468,21 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                                   else 0.0)
                 state = D.prune(state, opacity_threshold,
                                 scene.cameras_extent, size_threshold)
+                host_n_active = int(state.num_active)
+            if (opt.add_point and iteration % opt.densification_interval == 0
+                    and host_n_active < opt.max_points):
+                # point growing (train.py:409-410, grow(5,5,...)); thresholds
+                # halve when a round adds <100 points, mirroring the
+                # reference's self-mutating state (gaussian_model.py:694-697)
+                state, added = D.grow(
+                    state, grow_ctx["density_threshold"],
+                    grow_ctx["displacement_scale"], seed=iteration)
+                if added < 100:
+                    grow_ctx["density_threshold"] /= 2
+                    grow_ctx["displacement_scale"] /= 2
+                    logger.info("reduce diplacement_scale to: "
+                                f"{grow_ctx['displacement_scale']}")
+                logger.info(f"point growing,add point num:{added}")
                 host_n_active = int(state.num_active)
             if iteration % opt.opacity_reset_interval == 0:
                 logger.info("reset opacity")

@@ -12,11 +12,25 @@ Distribution targets (typical of 3DGS checkpoints after densify/prune,
 e.g. the reference's bounds train.py:399,403):
 - positions: mixture of surface-like clusters + a diffuse background shell;
 - scales: per-Gaussian log-normal base size (sigma ~ 0.9 in log space ->
-  p99/p50 ~ 8x) with per-axis anisotropy (thin discs/needles are common);
+  p99/p50 ~ 8x) with per-axis anisotropy (thin discs/needles are common),
+  BOUNDED by the training loop's own invariants (below);
 - opacity: broad in logit space, truncated below at the reference's prune
   threshold (~0.005, train.py opacity_threshold);
 - rotations: uniform random unit quaternions.
-"""
+
+Scale cap — why trained checkpoints cannot keep arbitrarily large splats:
+the reference's densification SPLITS every Gaussian whose max world scale
+exceeds percent_dense * cameras_extent (= 0.01 * extent, reference
+gaussian_model.py densify_and_split / train.py:399-406) every
+densification_interval (100) iterations, and the prune pass additionally
+drops splats whose screen radius exceeded max_screen_size (20 px) once
+pruning starts. A converged checkpoint therefore has its scale tail pinned
+near split_cap = 0.01 * extent, with a small straggler population (splats
+that grew since the last densify pass, or survived because
+densify_until_iter ended) reaching a handful of multiples of the cap. The
+previous revision of this module ignored the invariant (unbounded
+log-normal + 6x background boost) and produced 85-tile-span monsters that
+no reference-trained checkpoint can contain."""
 from __future__ import annotations
 
 import numpy as np
@@ -28,10 +42,17 @@ from langsplat4d.core import state as statelib
 
 def realistic_gaussians(n: int, *, lang_dim: int = 3, seed: int = 0,
                         extent: float = 1.2, base_scale: float = 0.008,
-                        scale_sigma: float = 0.9, capacity: int | None = None):
+                        scale_sigma: float = 0.9, capacity: int | None = None,
+                        cameras_extent: float = 5.0,
+                        percent_dense: float = 0.01,
+                        straggler_frac: float = 0.015):
     """Build a GaussianState with trained-checkpoint-like statistics.
 
-    Returns a `core.state.GaussianState` with `n` active rows.
+    The scale distribution is log-normal softly capped at the reference's
+    split invariant (percent_dense * cameras_extent, see module docstring);
+    `straggler_frac` of the splats exceed the cap by up to ~4x (growth since
+    the last densify pass). Returns a `core.state.GaussianState` with `n`
+    active rows.
     """
     rng = np.random.default_rng(seed)
 
@@ -59,12 +80,23 @@ def realistic_gaussians(n: int, *, lang_dim: int = 3, seed: int = 0,
     pts = np.concatenate([pts_fg, pts_bg]).astype(np.float32)
     pts = np.clip(pts, -2.0 * extent, 2.0 * extent)
 
-    # --- scales: log-normal base size x per-axis anisotropy ---
+    # --- scales: log-normal base size x per-axis anisotropy, softly capped
+    # at the densify-split invariant (module docstring) ---
     base = rng.normal(np.log(base_scale), scale_sigma, size=(n, 1))
     aniso = rng.normal(0.0, 0.5, size=(n, 3))
-    # background splats are the large fuzzy ones (the heavy tail)
-    base[n_fg:] += np.log(6.0)
-    log_scales = (base + aniso).astype(np.float32)
+    # background splats sit at the top of the allowed range (large fuzzy
+    # low-frequency surfaces), not beyond it
+    base[n_fg:] += np.log(3.0)
+    scales = np.exp(base + aniso)
+    # split cap: tanh squash keeps the bulk untouched (s << cap -> s) and
+    # pins the tail at the cap, like repeated splitting does in training
+    split_cap = percent_dense * cameras_extent
+    scales = split_cap * np.tanh(scales / split_cap)
+    # stragglers: grown since the last densify pass / past densify_until
+    n_strag = int(n * straggler_frac)
+    strag = rng.choice(n, size=n_strag, replace=False)
+    scales[strag] *= rng.uniform(1.0, 4.0, size=(n_strag, 1))
+    log_scales = np.log(np.maximum(scales, 1e-9)).astype(np.float32)
 
     # --- opacity: broad in logit space, floored at the prune threshold ---
     op = 1.0 / (1.0 + np.exp(-rng.normal(0.5, 2.0, size=(n, 1))))

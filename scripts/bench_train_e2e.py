@@ -115,6 +115,8 @@ def main():
                                        f"{N_IMGS - 1:06d}.png")):
         make_dataset(root)
 
+    from langsplat4d.utils.platform import apply_platform_env
+    apply_platform_env()
     import jax
     from langsplat4d.config import Config
     from langsplat4d.field.deformation import DeformConfig, init_deform_params

@@ -136,3 +136,55 @@ class TestSamplers:
         batches = list(BatchLoader(ds, 3, seed=1))
         assert sum(len(b) for b in batches) == 10
         assert sorted(sum(batches, [])) == list(range(10))
+
+
+class TestPrefetch:
+    """Host-pipeline prefetch (data/prefetch.py): ordering, laziness bound,
+    exception propagation."""
+
+    def test_same_sequence_as_direct_iteration(self):
+        from langsplat4d.data.prefetch import prefetch
+        items = list(range(57))
+        assert list(prefetch(iter(items), depth=3)) == items
+
+    def test_depth_zero_is_synchronous_passthrough(self):
+        from langsplat4d.data.prefetch import prefetch
+        produced = []
+
+        def gen():
+            for i in range(4):
+                produced.append(i)
+                yield i
+
+        it = prefetch(gen(), depth=0)
+        assert next(it) == 0
+        assert produced == [0]  # nothing ran ahead
+
+    def test_runs_ahead_but_bounded(self):
+        import time
+        from langsplat4d.data.prefetch import prefetch
+        produced = []
+
+        def gen():
+            for i in range(100):
+                produced.append(i)
+                yield i
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 0
+        time.sleep(0.2)  # let the producer run ahead
+        # ahead by at most depth + the one blocked in q.put
+        assert 1 <= len(produced) <= 5
+
+    def test_exception_propagates(self):
+        from langsplat4d.data.prefetch import prefetch
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(gen(), depth=2)
+        assert next(it) == 1
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="boom"):
+            next(it)

@@ -78,3 +78,86 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(out_state.params["xyz"]),
                                np.asarray(ref_state.params["xyz"]),
                                rtol=1e-4, atol=1e-6)
+    # the gauss-axis sharding must SURVIVE the step (silent replication
+    # would pass the value check while wrecking memory scaling)
+    assert tuple(out_state.params["xyz"].sharding.spec)[:1] == ("gauss",)
+    assert tuple(out_state.opt.m["xyz"].sharding.spec)[:1] == ("gauss",)
+
+
+def test_sharded_densify_prune_reset_match_single_device():
+    """densify/prune/reset_opacity under a mesh: same values as unsharded
+    execution AND preserved gauss-axis row shardings (VERDICT r2 #4b)."""
+    from langsplat4d.parallel.mesh import make_mesh, shard_state
+    from langsplat4d.train import densify as D
+
+    rng = np.random.default_rng(1)
+    state, _ = tiny_state(rng, n=48, cap=64)
+    # nonzero densify stats so clone/split actually select rows
+    state = state.replace(
+        xyz_gradient_accum=jnp.asarray(
+            rng.uniform(0, 1e-2, size=(64, 1)).astype(np.float32)),
+        denom=jnp.ones((64, 1), jnp.float32),
+        max_radii2d=jnp.asarray(
+            rng.uniform(0, 30, size=(64,)).astype(np.float32)))
+
+    def run_ops(st):
+        st = D.densify(st, 1e-4, 1.6, 0.01, jax.random.PRNGKey(3))
+        st = D.prune(st, 0.3, 1.6, 20.0)
+        return D.reset_opacity(st)
+
+    ref = run_ops(state)
+
+    mesh = make_mesh(4, data=2, gauss=2)
+    with mesh:
+        out = run_ops(shard_state(state, mesh))
+        jax.block_until_ready(out.params["xyz"])
+
+    assert int(out.num_active) == int(ref.num_active)
+    n = int(ref.num_active)
+    for k in ("xyz", "opacity", "scaling", "language_feature"):
+        np.testing.assert_allclose(np.asarray(out.params[k][:n]),
+                                   np.asarray(ref.params[k][:n]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    assert tuple(out.params["xyz"].sharding.spec)[:1] == ("gauss",)
+    assert tuple(out.opt.m["opacity"].sharding.spec)[:1] == ("gauss",)
+    assert tuple(out.max_radii2d.sharding.spec)[:1] == ("gauss",)
+
+
+def test_sharded_render_matches_single_device():
+    """Render forward with gauss-sharded state equals the unsharded image
+    (VERDICT r2 #4c)."""
+    from langsplat4d.parallel.mesh import make_mesh, shard_state
+    from langsplat4d.render.raster import RasterSettings
+    from langsplat4d.train.optim import LRConfig
+    from langsplat4d.train.step import StepConfig, eval_step
+    from tests.test_raster import make_camera
+
+    rng = np.random.default_rng(2)
+    state, dcfg = tiny_state(rng, n=64, cap=64)
+    H = W = 32
+    cam = make_camera(H, W)
+    settings = RasterSettings(H, W, sh_degree=0, lang_dim=3,
+                              include_feature=True, tile_capacity=32,
+                              composite_chunk=16, composite_tile_chunk=4)
+    lr = LRConfig(position_lr_init=1.6e-3, position_lr_final=1.6e-5,
+                  position_lr_delay_mult=0.01, position_lr_max_steps=100,
+                  deformation_lr_init=1.6e-3, deformation_lr_final=1.6e-4,
+                  deformation_lr_delay_mult=0.01, grid_lr_init=1.6e-2,
+                  grid_lr_final=1.6e-3, feature_lr=0.0025, opacity_lr=0.05,
+                  scaling_lr=0.005, rotation_lr=0.001,
+                  language_feature_lr=0.0025)
+    cfg = StepConfig(settings=settings, dcfg=dcfg, lr_cfg=lr,
+                     stage="fine-lang", no_dlang=False)
+    t = jnp.asarray(0.4, jnp.float32)
+    ref = eval_step(cfg, state, cam, t, jnp.zeros(3), 0)
+
+    mesh = make_mesh(8, data=4, gauss=2)
+    with mesh:
+        out = eval_step(cfg, shard_state(state, mesh), cam, t,
+                        jnp.zeros(3), 0)
+        img = np.asarray(jax.block_until_ready(out["render"]))
+    np.testing.assert_allclose(img, np.asarray(ref["render"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["language_feature_image"]),
+                               np.asarray(ref["language_feature_image"]),
+                               rtol=1e-4, atol=1e-5)

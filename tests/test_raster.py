@@ -486,3 +486,106 @@ class TestAnalyticVJP:
                                        err_msg=key)
         np.testing.assert_allclose(np.asarray(g_cv[1]), np.asarray(g_ad[1]),
                                    rtol=1e-4, err_msg="bg")
+
+
+class TestAutotuneTiers:
+    """Tier autotuning from a measured span distribution (render/stream.py
+    autotune_tiers): exactness = every rung's capacity covers the count of
+    Gaussians whose span exceeds the previous rung, and the ladder reaches
+    the max observed span (driver retunes once per scene, render_set)."""
+
+    def test_covers_demand_and_max_span(self):
+        from langsplat4d.render.stream import autotune_tiers
+        rng = np.random.default_rng(0)
+        spans = np.concatenate([
+            np.full(100_000, 2), np.full(40_000, 3), np.full(20_000, 5),
+            np.full(3_000, 9), np.full(200, 14), np.full(40, 27)])
+        rng.shuffle(spans)
+        tiers = autotune_tiers(spans)
+        prev = 2
+        for span_i, cap_i in tiers:
+            demand = int((spans > prev).sum())
+            assert cap_i >= demand, (span_i, cap_i, demand)
+            assert span_i > prev
+            prev = span_i
+        assert prev >= spans.max()
+
+    def test_small_scene_single_tier(self):
+        from langsplat4d.render.stream import autotune_tiers
+        tiers = autotune_tiers(np.full(500, 2))
+        # nothing spans beyond the universal 2x2 slots
+        assert len(tiers) == 1
+
+    def test_empty_spans(self):
+        from langsplat4d.render.stream import autotune_tiers
+        assert autotune_tiers(np.zeros(0, np.int64))[0][0] >= 3
+
+
+class TestNarrowStream:
+    """build_stream_narrow (render/stream.py): the 2-column-sort + budgeted
+    Morton row-gather build must produce the same per-tile depth-ordered
+    segments as the classic payload-carrying build, and the ellipse cull
+    must only drop entries the compositor's alpha >= 1/255 cutoff would
+    skip for every pixel of the tile."""
+
+    def _build_both(self, rng, ellipse_cull, n=96, H=64, W=64):
+        from langsplat4d.render.stream import (build_stream,
+                                               build_stream_narrow)
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=3, include_feature=True,
+            tile_capacity=64)
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+        prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+            settings, cam, mn, dm, op, sc, qt, None, cl))(
+            jnp.asarray(means), jnp.zeros((n, 2)), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+        tiers = ((3, 64), (6, 64), (16, 64))
+        rows_c, starts_c, _ = jax.jit(lambda p, f: build_stream(
+            settings, p, f, tiers=tiers))(prep, jnp.asarray(lang))
+        rows_n, starts_n, n_valid = jax.jit(lambda p, f: build_stream_narrow(
+            settings, p, f, tiers=tiers, budget=4096,
+            ellipse_cull=ellipse_cull))(prep, jnp.asarray(lang))
+        return (settings, np.asarray(rows_c), np.asarray(starts_c),
+                np.asarray(rows_n), np.asarray(starts_n), int(n_valid))
+
+    def test_segments_match_classic(self, rng):
+        (settings, rows_c, starts_c, rows_n, starts_n,
+         n_valid) = self._build_both(rng, ellipse_cull=False)
+        assert n_valid == starts_n[settings.num_tiles]
+        for t in range(settings.num_tiles):
+            seg_c = rows_c[:, starts_c[t]:starts_c[t + 1]]
+            seg_n = rows_n[:, starts_n[t]:starts_n[t + 1]]
+            np.testing.assert_allclose(seg_n, seg_c, rtol=0, atol=0,
+                                       err_msg=f"tile {t}")
+
+    def test_ellipse_cull_only_drops_invisible(self, rng):
+        (settings, rows_c, starts_c, rows_n, starts_n,
+         _) = self._build_both(rng, ellipse_cull=True)
+        ts = settings.tile_size
+        dropped_total = 0
+        for t in range(settings.num_tiles):
+            seg_c = rows_c[:, starts_c[t]:starts_c[t + 1]]
+            seg_n = rows_n[:, starts_n[t]:starts_n[t + 1]]
+            # culled build is a depth-ordered subsequence of the classic one
+            keys_c = [tuple(seg_c[:, i]) for i in range(seg_c.shape[1])]
+            keys_n = [tuple(seg_n[:, i]) for i in range(seg_n.shape[1])]
+            it = iter(keys_c)
+            assert all(k in it for k in keys_n), f"tile {t} not a subsequence"
+            # every dropped entry: max alpha over the tile < 1/255
+            tx, ty = t % settings.tiles_x, t // settings.tiles_x
+            xs = np.arange(tx * ts, tx * ts + ts, dtype=np.float64)
+            ys = np.arange(ty * ts, ty * ts + ts, dtype=np.float64)
+            gx, gy = np.meshgrid(xs, ys)
+            kept = set(keys_n)
+            for k in keys_c:
+                if k in kept:
+                    continue
+                px, py, a, b, c, ln_op = k[0], k[1], k[2], k[3], k[4], k[5]
+                dx, dy = gx - px, gy - py
+                q = a * dx * dx + 2 * b * dx * dy + c * dy * dy
+                alpha = np.exp(ln_op) * np.exp(-0.5 * q)
+                assert alpha.max() < 1.0 / 255.0, f"tile {t}"
+                dropped_total += 1
+        # the cull must actually fire on this scene
+        assert dropped_total > 0

@@ -122,6 +122,33 @@ class TestDensify:
         np.testing.assert_allclose(np.asarray(out.params["xyz"])[40:45],
                                    np.asarray(state.params["xyz"])[:5])
 
+    def test_grow_adds_displaced_copies(self, rng):
+        """Point growing (opt.add_point path): low-density points get
+        attribute-copies at displaced positions inside the AABB
+        (reference grow/add_point_by_mask, gaussian_model.py:632-713)."""
+        state, _ = tiny_state(rng, n=40, cap=64)
+        n0 = int(state.num_active)
+        out, added = D.grow(state, density_threshold=1e-4,
+                            displacement_scale=0.05, seed=0,
+                            voxel_size=0.05)
+        assert added > 0
+        assert int(out.num_active) == n0 + added
+        new_xyz = np.asarray(out.params["xyz"][n0:n0 + added])
+        aabb = np.asarray(state.aabb)
+        assert (new_xyz < aabb[0]).all() and (new_xyz > aabb[1]).all()
+        # appended rows carry copied attributes and zeroed Adam moments
+        sc_old = np.asarray(state.params["scaling"][:n0])
+        sc_new = np.asarray(out.params["scaling"][n0:n0 + added])
+        for row in sc_new:
+            assert (np.abs(sc_old - row).sum(1) < 1e-6).any()
+        assert np.asarray(out.opt.m["xyz"][n0:n0 + added]).sum() == 0.0
+
+    def test_grow_no_candidates_is_noop(self, rng):
+        state, _ = tiny_state(rng, n=40, cap=64)
+        out, added = D.grow(state, density_threshold=1e9,
+                            displacement_scale=0.05, seed=0, voxel_size=0.05)
+        assert added == 0 and int(out.num_active) == int(state.num_active)
+
     def test_split_resamples_and_prunes_original(self, rng):
         state, _ = tiny_state(rng, n=40, cap=128)
         accum = np.zeros((128, 1), np.float32)
