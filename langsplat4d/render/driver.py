@@ -51,15 +51,27 @@ def _write_images(images: List[np.ndarray], path: str) -> None:
 
 def _make_render_one(settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
                      grid_spatial, mode):
-    """Jitted single-frame render closure (rebuilt when tiers are retuned)."""
-    @jax.jit
-    def render_one(camp, t):
+    """Jitted single-frame + chunked multi-frame render closures (rebuilt
+    when tiers are retuned).
+
+    The chunk variant maps the frame body over a stacked [B] batch of
+    cameras inside ONE dispatch: each host dispatch costs ~30 ms over the
+    axon tunnel, so per-frame dispatching caps the FPS line at ~33 even
+    with zero device time; lax.map amortizes it B-fold while keeping
+    per-frame device semantics (sequential scan, no batch dim in the
+    rasterizer)."""
+    def body(camp, t):
         out = render(settings, dcfg, load_stage, camp, t, gs, deform, aabb, bg,
                      nonormalized=cfg.runtime.nonormalized,
                      grid_spatial=grid_spatial)
         key = "render" if mode == "rgb" else "language_feature_image"
         return out[key]
-    return render_one
+
+    @jax.jit
+    def render_chunk(camps, ts):               # stacked [B] pytree / [B]
+        return jax.lax.map(lambda ct: body(ct[0], ct[1]), (camps, ts))
+
+    return jax.jit(body), render_chunk
 
 
 def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
@@ -108,8 +120,9 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         grid_spatial = jax.jit(make_grid_spatial_cache,
                                static_argnums=(1,))(deform, dcfg, aabb, gs.xyz)
 
-    render_one = _make_render_one(settings, dcfg, load_stage, cfg, gs, deform,
-                                  aabb, bg, grid_spatial, mode)
+    render_one, render_chunk = _make_render_one(
+        settings, dcfg, load_stage, cfg, gs, deform, aabb, bg, grid_spatial,
+        mode)
 
     logger.info(f"name:{name} point nums:{int(state.num_active)} "
                 f"len:{len(views)}")
@@ -124,7 +137,9 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         # whose span distribution matches the static defaults.
         import dataclasses
         from langsplat4d.core.transforms import safe_normalize
-        from langsplat4d.render.stream import autotune_tiers, stream_overflow
+        from langsplat4d.render.stream import (autotune_tiers,
+                                               narrow_valid_count,
+                                               stream_overflow)
         from langsplat4d.render.raster import preprocess
         try:
             # canonical (undeformed) attributes approximate the deformed
@@ -142,25 +157,44 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
             sy = (rmax[:, 1] - rmin[:, 1])[vism]
             spans = np.maximum(sx, sy)
             tiers = autotune_tiers(spans)
-            # exact (Gaussian, tile) pair count sizes the narrow-sort row
-            # budget; margin absorbs deformation-induced span drift
-            pairs = int((sx * sy).sum())
-            budget = -(-int(pairs * 1.25) // 8192) * 8192
             narrow = (gs.capacity <= (1 << 18)
-                      and settings.num_tiles < (1 << 14))
+                      and settings.num_tiles < (1 << 14)
+                      and os.environ.get("LS4D_STREAM_NARROW", "1") != "0")
+            budget = 0
+            if narrow:
+                # size the narrow-sort row budget from the exact VALID slot
+                # count (rect-clipped + ellipse-culled) — the rect pair
+                # count over-provisions the gather ~2x. Sampled over several
+                # views (canonical, undeformed attributes); the 1.2 margin
+                # absorbs deformation-induced span drift on top.
+                count_fn = jax.jit(
+                    lambda p: narrow_valid_count(
+                        settings, p, tiers=tiers,
+                        ellipse_cull=settings.stream_ellipse_cull))
+                n_est = int(count_fn(prep))
+                for v in views[len(views) // 2::max(len(views) // 2, 1)]:
+                    p_v = preprocess(
+                        settings, v.camera_params(), gs.xyz,
+                        jnp.zeros((gs.capacity, 2)),
+                        jax.nn.sigmoid(gs.opacity), jnp.exp(gs.scaling),
+                        safe_normalize(gs.rotation), None,
+                        colors_precomp=jnp.zeros((gs.capacity, 3)),
+                        active=gs.active_mask())
+                    n_est = max(n_est, int(count_fn(p_v)))
+                budget = -(-int(n_est * 1.2) // 8192) * 8192
             if (tiers != settings.stream_tiers
                     or (narrow and not settings.stream_narrow_sort)):
                 logger.info(
                     f"stream tiers autotuned to {tiers} (span p100="
-                    f"{int(spans.max()) if spans.size else 0}, pairs "
-                    f"{pairs}, narrow={narrow} budget={budget})")
+                    f"{int(spans.max()) if spans.size else 0}, "
+                    f"narrow={narrow} budget={budget})")
                 settings = dataclasses.replace(
                     settings, stream_tiers=tiers,
                     stream_narrow_sort=narrow,
                     stream_budget=budget if narrow else 0)
-                render_one = _make_render_one(settings, dcfg, load_stage, cfg,
-                                              gs, deform, aabb, bg,
-                                              grid_spatial, mode)
+                render_one, render_chunk = _make_render_one(
+                    settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
+                    grid_spatial, mode)
             # safety net: the autotuned ladder must not clip (deformation
             # can shift spans slightly; margins should absorb it)
             ov = stream_overflow(settings, prep, tiers=settings.stream_tiers)
@@ -180,30 +214,48 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
             logger.warning(f"stream tier autotune skipped: {e}")
 
     # warm-up: compile outside the timed region (the CUDA reference has no
-    # compile step; the FPS line measures steady-state throughput)
-    _ = jax.block_until_ready(render_one(views[0].camera_params(),
-                                         jnp.asarray(views[0].time)))
+    # compile step; the FPS line measures steady-state throughput). Frames
+    # go through render_chunk in fixed-size batches (one compile total);
+    # a trailing partial batch is padded with the last view and sliced off.
+    chunk_b = max(1, min(int(os.environ.get("LS4D_RENDER_CHUNK", "10")),
+                         len(views)))
+
+    def stack_views(vs):
+        camps = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[v.camera_params() for v in vs])
+        ts = jnp.asarray([v.time for v in vs], jnp.float32)
+        return camps, ts
+
+    n_views = len(views)
+    warm_views = [views[i] for i in range(min(chunk_b, n_views))]
+    warm_views += [warm_views[-1]] * (chunk_b - len(warm_views))
+    _ = jax.block_until_ready(render_chunk(*stack_views(warm_views)))
 
     gt_nonorm_list: List[Optional[np.ndarray]] = []
     gt_list: List[Optional[np.ndarray]] = []
     tosave_rendering: List[np.ndarray] = []
     render_images: List[np.ndarray] = []
 
-    # Pipelined frame loop: dispatch every frame, then force the LAST frame
-    # by value — the in-order device queue drains all prior frames before it
-    # completes, so the timed window covers all compute without paying the
-    # per-frame host round-trip (~35 ms over the tunnel; PERF.md). The
-    # reference loop also keeps frames on-device inside its timed window
-    # (render.py:95-126 appends CUDA tensors; saving happens after :133).
-    device_frames = []
+    # Pipelined frame loop: dispatch chunk_b-frame batches, then force the
+    # LAST frame by value — the in-order device queue drains all prior
+    # chunks before it completes, so the timed window covers all compute
+    # while paying the ~30 ms tunnel dispatch cost once per CHUNK instead of
+    # once per frame (PERF.md). The reference loop also keeps frames
+    # on-device inside its timed window (render.py:95-126 appends CUDA
+    # tensors; saving happens after :133).
+    device_chunks = []
     time1 = time_mod.time()
-    for view in views:
-        device_frames.append(
-            render_one(view.camera_params(), jnp.asarray(view.time)))
-    if device_frames:
+    for c0 in range(0, n_views, chunk_b):
+        # index one by one: lazy dataset wrappers don't support slices
+        vs = [views[i] for i in range(c0, min(c0 + chunk_b, n_views))]
+        n_real = len(vs)
+        if n_real < chunk_b:                      # pad the trailing batch
+            vs = vs + [vs[-1]] * (chunk_b - n_real)
+        device_chunks.append((render_chunk(*stack_views(vs)), n_real))
+    if device_chunks:
         # value fetch, not block_until_ready: the axon runtime defers
         # execution until a value is pulled (PERF.md)
-        assert np.isfinite(float(device_frames[-1][0, 0, 0]))
+        assert np.isfinite(float(device_chunks[-1][0][0, 0, 0, 0]))
     time2 = time_mod.time()
     fps = (len(views) - 1) / max(time2 - time1, 1e-9)
     print("FPS:", fps)
@@ -211,9 +263,11 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
     # drain device -> host outside the timed window (frames are complete;
     # this is pure transfer), freeing device memory as we go
     render_list: List[np.ndarray] = []
-    for i in range(len(device_frames)):
-        render_list.append(np.asarray(device_frames[i]))
-        device_frames[i] = None
+    for i in range(len(device_chunks)):
+        chunk, n_real = device_chunks[i]
+        host = np.asarray(chunk)
+        render_list.extend(host[j] for j in range(n_real))
+        device_chunks[i] = None
 
     for idx, view in enumerate(views):
         rendering = render_list[idx]

@@ -795,7 +795,7 @@ def _composite_stream(settings: RasterSettings, prep, features, bg):
         rows, starts, bg, tiles_x=settings.tiles_x,
         num_tiles=settings.num_tiles, tile_size=ts,
         tb=settings.pallas_tile_block,
-        g=min(settings.composite_chunk, 128),
+        g=settings.composite_chunk,
         hard_cutoffs=settings.hard_cutoffs)
     c_out = out.shape[1]
     out = out[: settings.num_tiles]

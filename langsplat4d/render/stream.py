@@ -111,13 +111,18 @@ def build_stream(
     # (capacity permitting) get the remaining slots of this tier's rect;
     # only these few thousand rows are gathered. Row-major table for the
     # tier gathers — XLA row gathers are cheap, 2-D element gathers are not.
+    # ONE shared span-descending order replaces a top_k per rung: every
+    # rung's candidate set {span > prev} is a prefix of this order, so
+    # rung i takes the first count_i entries and masks the stragglers
+    # (equivalent to per-rung top_k whenever capacity covers demand — the
+    # autotuned case; best-effort by span instead of area otherwise).
     packed_rows = cols.T                                  # [N, n_pay]
+    span_key = jnp.where(vis, jnp.maximum(span_x, span_y), -1)
+    sorder = jnp.argsort(-span_key, stable=False)
     prev_span = 2
     for span_i, count_i in tiers:
-        bigm = vis & ((span_x > prev_span) | (span_y > prev_span))
-        area_i = jnp.where(bigm, span_x * span_y, -1)
-        _, idx_i = jax.lax.top_k(area_i, min(count_i, n))
-        sel_i = area_i[idx_i] > 0
+        idx_i = sorder[:min(count_i, n)]
+        sel_i = span_key[idx_i] > prev_span
         cols_i = packed_rows[idx_i].T
         slots_i = [(dx, dy) for dy in range(span_i) for dx in range(span_i)
                    if not (dx < prev_span and dy < prev_span)]
@@ -130,8 +135,12 @@ def build_stream(
     pays = tuple(jnp.concatenate(p) for p in pay_parts)
 
     # ONE global lex sort carrying all payload columns (payload-carrying
-    # sorts measure ~= key-only sorts on TPU)
-    sorted_all = jax.lax.sort((tile_all, dep_all) + pays, num_keys=2)
+    # sorts measure ~= key-only sorts on TPU). is_stable=False: (tile, depth)
+    # ties can only order equal-depth splats arbitrarily, exactly like the
+    # CUDA radix sort's arbitrary tie order — and the stable variant measures
+    # 2-4x slower at stream sizes.
+    sorted_all = jax.lax.sort((tile_all, dep_all) + pays, num_keys=2,
+                              is_stable=False)
     s_tile, s_dep = sorted_all[0], sorted_all[1]
     m = s_tile.shape[0]
 
@@ -240,7 +249,7 @@ def build_stream_narrow(
 
     # ---- depth ranks: rank[g] = position of g in front-to-back order ----
     big = jnp.where(vis, depth, jnp.inf)
-    dorder = jnp.argsort(big)
+    dorder = jnp.argsort(big, stable=False)
     rank = jnp.zeros(n, jnp.uint32).at[dorder].set(
         jnp.arange(n, dtype=jnp.uint32))
 
@@ -249,25 +258,26 @@ def build_stream_narrow(
                     0, tiles_x - 1)
     ty_c = jnp.clip((prep["point_image"][:, 1] / ts).astype(jnp.int32),
                     0, settings.tiles_y - 1)
-    morder = jnp.argsort(_morton_u32(tx_c, ty_c))
+    morder = jnp.argsort(_morton_u32(tx_c, ty_c), stable=False)
     mpos = jnp.zeros(n, jnp.int32).at[morder].set(
         jnp.arange(n, dtype=jnp.int32))
 
     ln_op = jnp.log(jnp.maximum(prep["opacity"], 1e-30))
     L = features.shape[1]
-    packed = jnp.zeros((n, PW), jnp.float32)
-    packed = packed.at[:, 0].set(prep["point_image"][:, 0])
-    packed = packed.at[:, 1].set(prep["point_image"][:, 1])
-    packed = packed.at[:, 2].set(prep["conic"][:, 0])
-    packed = packed.at[:, 3].set(prep["conic"][:, 1])
-    packed = packed.at[:, 4].set(prep["conic"][:, 2])
-    packed = packed.at[:, 5].set(ln_op)
-    packed = packed.at[:, 8].set(prep["colors"][:, 0])
-    packed = packed.at[:, 9].set(prep["colors"][:, 1])
-    packed = packed.at[:, 10].set(prep["colors"][:, 2])
-    for i in range(L):
-        packed = packed.at[:, 11 + i].set(features[:, i])
-    packed = packed.at[:, 11 + L].set(depth)
+    zero = jnp.zeros((n,), jnp.float32)
+    # ONE stacked build: 14 separate .at[:, i].set column writes into the
+    # row-major [N, 16] table each cost a full stride-16 pass (~0.8 ms at
+    # N=200k measured — they dominated the emission stage in traces)
+    col_list = [
+        prep["point_image"][:, 0], prep["point_image"][:, 1],
+        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
+        ln_op, zero, zero,
+        prep["colors"][:, 0], prep["colors"][:, 1], prep["colors"][:, 2],
+        *[features[:, i] for i in range(L)],
+        depth,
+    ]
+    col_list += [zero] * (PW - len(col_list))
+    packed = jnp.stack(col_list, axis=1)
     table = packed[morder]                     # [N, 16] Morton-ordered
 
     # ellipse-cull threshold: alpha >= 1/255 iff q <= 2*ln(255*op)
@@ -279,23 +289,17 @@ def build_stream_narrow(
 
     key_parts, src_parts = [], []
 
-    def emit(idx, active, slots):
-        """Emit one tier's slots as (key, src) pairs; idx=None = all rows."""
-        if idx is None:
-            r0x, r0y = rmin[:, 0], rmin[:, 1]
-            r1x, r1y = rmax[:, 0], rmax[:, 1]
-            d_rank, d_src = rank, mpos
-            cA, cB, cC = conic[:, 0], conic[:, 1], conic[:, 2]
-            px, py, tt2 = pix[:, 0], pix[:, 1], t2
-        else:
-            r0x, r0y = rmin[idx, 0], rmin[idx, 1]
-            r1x, r1y = rmax[idx, 0], rmax[idx, 1]
-            d_rank, d_src = rank[idx], mpos[idx]
-            cA, cB, cC = (conic[idx, 0], conic[idx, 1], conic[idx, 2])
-            px, py, tt2 = pix[idx, 0], pix[idx, 1], t2[idx]
-        dxs = jnp.asarray(np.array([s[0] for s in slots], np.int32))[:, None]
-        dys = jnp.asarray(np.array([s[1] for s in slots], np.int32))[:, None]
-        txs = r0x[None, :] + dxs                       # [S, B]
+    def emit(fields, active, slots):
+        """Emit one tier's slots as (key, src) pairs.
+
+        `fields` = (r0x, r0y, r1x, r1y, rank_f, src_f, cA, cB, cC, px, py,
+        t2) — all f32 (integer fields are exact below 2^24)."""
+        r0x, r0y, r1x, r1y, d_rank, d_src, cA, cB, cC, px, py, tt2 = fields
+        dxs = jnp.asarray(np.array([s[0] for s in slots],
+                                   np.float32))[:, None]
+        dys = jnp.asarray(np.array([s[1] for s in slots],
+                                   np.float32))[:, None]
+        txs = r0x[None, :] + dxs                       # [S, B] f32
         tys = r0y[None, :] + dys
         ok = active[None, :] & (txs < r1x[None, :]) & (tys < r1y[None, :])
         if ellipse_cull:
@@ -306,30 +310,46 @@ def build_stream_narrow(
                 tys * float(ts), tys * float(ts) + (ts - 1.0))
             ok = ok & (q <= tt2[None, :])
         key = (txs + tys * tiles_x).astype(jnp.uint32) << RANK_BITS
-        key = key | d_rank[None, :]
+        key = key | d_rank.astype(jnp.uint32)[None, :]
         key_parts.append(jnp.where(ok, key, KEY_SENTINEL).reshape(-1))
         src_parts.append(jnp.broadcast_to(
-            d_src[None, :], ok.shape).reshape(-1))
+            d_src.astype(jnp.int32)[None, :], ok.shape).reshape(-1))
+
+    fields_full = (
+        rmin[:, 0].astype(jnp.float32), rmin[:, 1].astype(jnp.float32),
+        rmax[:, 0].astype(jnp.float32), rmax[:, 1].astype(jnp.float32),
+        rank.astype(jnp.float32), mpos.astype(jnp.float32),
+        conic[:, 0], conic[:, 1], conic[:, 2], pix[:, 0], pix[:, 1], t2)
 
     t1_slots = [(dx, dy) for dy in range(2) for dx in range(2)]
-    emit(None, vis, t1_slots)
+    emit(fields_full, vis, t1_slots)
 
+    # Shared span-descending order replaces a top_k per rung (each rung's
+    # candidate set is a prefix of this order), and ALL emission fields are
+    # reordered in ONE [N, 13] row gather — per-rung per-field 1-D gathers
+    # measured ~0.8 ms EACH (11 rungs x 10 fields dominated the build).
+    span_key = jnp.where(vis, jnp.maximum(span_x, span_y), -1)
+    sorder = jnp.argsort(-span_key, stable=False)
+    emis = jnp.stack(list(fields_full)
+                     + [span_key.astype(jnp.float32)], axis=1)[sorder]
     prev_span = 2
     for span_i, count_i in tiers:
-        bigm = vis & ((span_x > prev_span) | (span_y > prev_span))
-        area_i = jnp.where(bigm, span_x * span_y, -1)
-        _, idx_i = jax.lax.top_k(area_i, min(count_i, n))
-        sel_i = area_i[idx_i] > 0
+        e_i = emis[:min(count_i, n)]
+        sel_i = e_i[:, 12] > prev_span
         slots_i = [(dx, dy) for dy in range(span_i) for dx in range(span_i)
                    if not (dx < prev_span and dy < prev_span)]
-        emit(idx_i, sel_i, slots_i)
+        emit(tuple(e_i[:, j] for j in range(12)), sel_i, slots_i)
         prev_span = span_i
 
     key_all = jnp.concatenate(key_parts)
     src_all = jnp.concatenate(src_parts)
     n_valid = jnp.sum(key_all != KEY_SENTINEL).astype(jnp.int32)
 
-    k_sorted, s_sorted = jax.lax.sort((key_all, src_all), num_keys=1)
+    # is_stable=False: every valid key is unique (a Gaussian emits each tile
+    # at most once across the nested rungs), and sentinel slots land past the
+    # last tile's searchsorted bound — the stable sort measures 2-4x slower.
+    k_sorted, s_sorted = jax.lax.sort((key_all, src_all), num_keys=1,
+                                      is_stable=False)
     budget = min(int(budget), int(key_all.shape[0]))
     k_b = k_sorted[:budget]
     s_b = s_sorted[:budget]
@@ -340,20 +360,79 @@ def build_stream_narrow(
     return rows, starts, n_valid
 
 
+def narrow_valid_count(settings, prep, *, tiers, ellipse_cull=True):
+    """Count of VALID slots build_stream_narrow would emit (rect-clipped +
+    ellipse-culled) — jit this once per scene to size `stream_budget`
+    without paying the sort/gather compile. Mirrors the emit() validity
+    logic exactly (same rect tests, same conic quad-min cull)."""
+    n = prep["depth"].shape[0]
+    ts = settings.tile_size
+    rmin = prep["rect_min"].astype(jnp.int32)
+    rmax = prep["rect_max"].astype(jnp.int32)
+    vis = prep["visible"]
+    span_x = rmax[:, 0] - rmin[:, 0]
+    span_y = rmax[:, 1] - rmin[:, 1]
+    t2 = 2.0 * jnp.log(jnp.maximum(255.0 * prep["opacity"], 1.0))
+    conic = prep["conic"]
+    pix = prep["point_image"]
+
+    import numpy as np
+
+    def count(idx, active, slots):
+        if idx is None:
+            r0x, r0y, r1x, r1y = rmin[:, 0], rmin[:, 1], rmax[:, 0], rmax[:, 1]
+            cA, cB, cC = conic[:, 0], conic[:, 1], conic[:, 2]
+            px, py, tt2 = pix[:, 0], pix[:, 1], t2
+        else:
+            r0x, r0y = rmin[idx, 0], rmin[idx, 1]
+            r1x, r1y = rmax[idx, 0], rmax[idx, 1]
+            cA, cB, cC = conic[idx, 0], conic[idx, 1], conic[idx, 2]
+            px, py, tt2 = pix[idx, 0], pix[idx, 1], t2[idx]
+        dxs = jnp.asarray(np.array([s[0] for s in slots], np.int32))[:, None]
+        dys = jnp.asarray(np.array([s[1] for s in slots], np.int32))[:, None]
+        txs = r0x[None, :] + dxs
+        tys = r0y[None, :] + dys
+        ok = active[None, :] & (txs < r1x[None, :]) & (tys < r1y[None, :])
+        if ellipse_cull:
+            q = _tile_min_quad(
+                cA[None, :], cB[None, :], cC[None, :], px[None, :],
+                py[None, :],
+                txs * float(ts), txs * float(ts) + (ts - 1.0),
+                tys * float(ts), tys * float(ts) + (ts - 1.0))
+            ok = ok & (q <= tt2[None, :])
+        return jnp.sum(ok)
+
+    total = count(None, vis, [(dx, dy) for dy in range(2) for dx in range(2)])
+    span_key = jnp.where(vis, jnp.maximum(span_x, span_y), -1)
+    sorder = jnp.argsort(-span_key, stable=False)
+    prev_span = 2
+    for span_i, count_i in tiers:
+        idx_i = sorder[:min(count_i, n)]
+        sel_i = span_key[idx_i] > prev_span
+        slots_i = [(dx, dy) for dy in range(span_i) for dx in range(span_i)
+                   if not (dx < prev_span and dy < prev_span)]
+        total = total + count(idx_i, sel_i, slots_i)
+        prev_span = span_i
+    return total.astype(jnp.int32)
+
+
 #: candidate tier spans for autotuning, finest-first. A finer ladder wastes
 #: fewer emitted slots (a span-4 Gaussian in a span-6 tier emits 6^2-2^2=32
 #: slots for <=16 covered tiles); the cost of more rungs is only more
-#: (tiny) top_k calls at build time.
+#: (tiny) prefix slices of one shared span order at build time.
 TIER_LADDER = (3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64, 80, 96)
 
 
-def _round_cap(x: float, granule: int = 1024, min_cap: int = 256) -> int:
+def _round_cap(x: float, granule: int = 128, min_cap: int = 128) -> int:
+    # fine granule: emitted slots = capacity x slots-per-rung, so a coarse
+    # round-up on a big-span rung (hundreds of slots each) costs the sort
+    # hundreds of thousands of sentinel entries
     import math
     return max(min_cap, int(math.ceil(x / granule)) * granule)
 
 
-def autotune_tiers(spans: "np.ndarray", *, margin: float = 1.35,
-                   min_cap: int = 256) -> Tuple[Tuple[int, int], ...]:
+def autotune_tiers(spans: "np.ndarray", *, margin: float = 1.25,
+                   min_cap: int = 128) -> Tuple[Tuple[int, int], ...]:
     """Derive stream tiers from a measured span distribution (host-side).
 
     `spans` = per-visible-Gaussian tile span (max of x/y rect extent). For
