@@ -177,6 +177,13 @@ class RuntimeConfig:
     gaussian_shards: int = 1     # Gaussian-axis sharding for preprocess
     prefetch_depth: int = 2      # train batches built ahead on a host thread
                                  # (0 = synchronous, the reference's behavior)
+    stream_train: bool = field(  # stream-binned training composite
+        default_factory=lambda: _env_flag("LS4D_STREAM_TRAIN"))
+                                 # (render/stream_vjp.py): chunk-aligned
+                                 # narrow-sort build + fused pallas fwd/bwd
+                                 # pair instead of padded tile lists; budget
+                                 # and tiers are autotuned per scene and
+                                 # re-audited as densification grows points
     watchdog_execv: bool = True  # NaN/explosion watchdog re-execs the process
                                  # (train.py:341-351); False raises instead
 

@@ -622,6 +622,327 @@ def composite_stream_pallas(
 
 
 # ---------------------------------------------------------------------------
+# Chunk-grid stream compositing (training fwd/bwd pair, render/stream_vjp.py):
+# the pallas grid runs over chunk-ALIGNED stream chunks (build_stream_train
+# guarantees each g-wide chunk belongs to exactly one tile and every tile
+# owns >= 1 chunk). The TPU grid is sequential, so the per-tile transmittance
+# (and, in the backward, the pi-prefix) lives in VMEM scratch carried across
+# grid steps, reset at each tile's first chunk. The out block is revisited
+# while the chunk index stays on the same tile (canonical pallas reduction
+# pattern) — no manual DMA management at all, and the backward writes each
+# chunk's per-slot gradient rows to an exclusively-owned [PW, g] block (no
+# scatter conflicts by construction).
+# ---------------------------------------------------------------------------
+
+def _chunk_flags(meta_ref, c, n_chunks):
+    tile = meta_ref[c]
+    prev = meta_ref[jnp.maximum(c - 1, 0)]
+    nxt = meta_ref[jnp.minimum(c + 1, n_chunks - 1)]
+    first = (c == 0) | (prev != tile)
+    last = (c == n_chunks - 1) | (nxt != tile)
+    return tile, first, last
+
+
+def _chunk_alpha_common(rows, ox, oy, basis, g, c_feat, hard_cutoffs):
+    """Shared per-chunk alpha math ([PW, g] rows -> alpha [g, px] etc.)."""
+    mx = rows[0:1, :] - ox
+    my = rows[1:2, :] - oy
+    c0 = rows[2:3, :]
+    c1 = rows[3:4, :]
+    c2 = rows[4:5, :]
+    ln_op = rows[5:6, :]
+    ft = rows[HDR:HDR + c_feat, :]
+    coef = jnp.concatenate([
+        -0.5 * (c0 * mx * mx + c2 * my * my) - c1 * mx * my,
+        c0 * mx + c1 * my,
+        c2 * my + c1 * mx,
+        -0.5 * c0,
+        -0.5 * c2,
+        -c1,
+        jnp.zeros((2, g), jnp.float32),
+    ], axis=0)                                   # [8, g]
+    power = jax.lax.dot_general(
+        coef, basis, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)      # [g, px]
+    alpha_raw = jnp.exp(power + ln_op.reshape(g, 1))
+    alpha = jnp.minimum(MAX_ALPHA, alpha_raw)
+    kill = power > 0.0
+    if hard_cutoffs:
+        kill = kill | (alpha < ALPHA_MIN)
+    alpha = jnp.where(kill, 0.0, alpha)
+    smooth = (~kill) & (alpha_raw < MAX_ALPHA)
+    return dict(alpha=alpha, smooth=smooth, mx=mx, my=my, c0=c0, c1=c1,
+                c2=c2, ln_op=ln_op, ft=ft)
+
+
+def _stream_chunk_fwd_kernel(meta_ref, rows_ref, basis_ref, bg_ref, out_ref,
+                             t_scr, *, g: int, px: int, c_feat: int,
+                             n_chunks: int, tiles_x: int, tile_size: int,
+                             hard_cutoffs: bool):
+    c_out = c_feat + 1
+    c = pl.program_id(0)
+    tile, first, last = _chunk_flags(meta_ref, c, n_chunks)
+    ox = ((tile % tiles_x) * tile_size).astype(jnp.float32)
+    oy = ((tile // tiles_x) * tile_size).astype(jnp.float32)
+
+    @pl.when(first)
+    def _():
+        t_scr[:] = jnp.ones((1, px), jnp.float32)
+        out_ref[0] = jnp.zeros((c_out, px), jnp.float32)
+
+    T = t_scr[:]
+    do = jnp.max(T) >= T_EPS if hard_cutoffs else True
+
+    @pl.when(do)
+    def _():
+        ch = _chunk_alpha_common(rows_ref[:], ox, oy, basis_ref[:], g,
+                                 c_feat, hard_cutoffs)
+        alpha = ch["alpha"]
+        cum = _cumprod_sublanes(1.0 - alpha, g)
+        t_after = T * cum
+        t_before = T * jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
+            pltpu.roll(cum, 1, 0), 1.0)
+        if hard_cutoffs:
+            include = t_after >= T_EPS
+            weights = jnp.where(include, alpha * t_before, 0.0)
+            t_masked = jnp.where(include, t_after, jnp.inf)
+            T_new = jnp.min(t_masked, axis=0, keepdims=True)
+            T_new = jnp.where(jnp.isinf(T_new), T, T_new)
+        else:
+            weights = alpha * t_before
+            T_new = t_after[g - 1:g, :]
+        contrib = jax.lax.dot_general(
+            ch["ft"], weights, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        alpha_sum = jnp.sum(weights, axis=0, keepdims=True)
+        out_ref[0] = out_ref[0] + jnp.concatenate([contrib, alpha_sum],
+                                                  axis=0)
+        t_scr[:] = T_new
+
+    @pl.when(last)
+    def _():
+        out_ref[0] = out_ref[0] + bg_ref[:] * t_scr[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "num_tiles", "tile_size", "g",
+                     "hard_cutoffs"))
+def composite_stream_chunks_pallas(
+    rows: jnp.ndarray,        # [PW, B_al] chunk-aligned stream rows
+    chunk_tile: jnp.ndarray,  # [B_al/g] owning tile per chunk
+    bg: jnp.ndarray,          # [3]
+    *,
+    tiles_x: int,
+    num_tiles: int,
+    tile_size: int = 16,
+    g: int = 128,
+    hard_cutoffs: bool = True,
+) -> jnp.ndarray:
+    """-> [num_tiles, c_out, px]. Training-forward stream composite: grid
+    over aligned chunks, per-tile accumulation via out-block revisiting."""
+    pw, b_al = rows.shape
+    c_feat = pw - HDR
+    c_out = c_feat + 1
+    px = tile_size * tile_size
+    assert b_al % g == 0
+    n_chunks = b_al // g
+
+    lx = jnp.tile(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    ly = jnp.repeat(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    basis = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, ly * ly, lx * ly,
+                       jnp.zeros_like(lx), jnp.zeros_like(lx)], axis=0)
+    bg_rows = jnp.zeros((c_out, px), jnp.float32)
+    bg_rows = bg_rows.at[:3, :].set(bg[:, None])
+
+    kernel = functools.partial(
+        _stream_chunk_fwd_kernel, g=g, px=px, c_feat=c_feat,
+        n_chunks=n_chunks, tiles_x=tiles_x, tile_size=tile_size,
+        hard_cutoffs=hard_cutoffs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((pw, g), lambda c, m: (0, c),
+                         memory_space=pltpu.VMEM),           # rows chunk
+            pl.BlockSpec((8, px), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),           # basis
+            pl.BlockSpec((c_out, px), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),           # bg rows
+        ],
+        out_specs=pl.BlockSpec((1, c_out, px), lambda c, m: (m[c], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, px), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, c_out, px), jnp.float32),
+    )(chunk_tile.astype(jnp.int32), rows, basis, bg_rows)
+
+
+def _stream_chunk_bwd_kernel(meta_ref, rows_ref, gout_ref, total_ref,
+                             basis_ref, drows_ref, t_scr, p_scr, *, g: int,
+                             px: int, c_feat: int, n_chunks: int,
+                             tiles_x: int, tile_size: int,
+                             hard_cutoffs: bool):
+    c = pl.program_id(0)
+    tile, first, last = _chunk_flags(meta_ref, c, n_chunks)
+    ox = ((tile % tiles_x) * tile_size).astype(jnp.float32)
+    oy = ((tile // tiles_x) * tile_size).astype(jnp.float32)
+
+    @pl.when(first)
+    def _():
+        t_scr[:] = jnp.ones((1, px), jnp.float32)
+        p_scr[:] = jnp.zeros((1, px), jnp.float32)
+
+    T = t_scr[:]
+    do = jnp.max(T) >= T_EPS if hard_cutoffs else True
+    pw = rows_ref.shape[0]
+    drows_ref[:] = jnp.zeros((pw, g), jnp.float32)
+
+    @pl.when(do)
+    def _():
+        basis = basis_ref[:]
+        ch = _chunk_alpha_common(rows_ref[:], ox, oy, basis, g, c_feat,
+                                 hard_cutoffs)
+        alpha = ch["alpha"]
+        g_feat = gout_ref[0, :c_feat, :]         # [c_feat, px]
+        g_alpha = gout_ref[0, c_feat:, :]        # [1, px]
+        total = total_ref[0]                     # [1, px]
+        prefix = p_scr[:]
+
+        cum = _cumprod_sublanes(1.0 - alpha, g)
+        t_after = T * cum
+        t_before = T * jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, cum.shape, 0) >= 1,
+            pltpu.roll(cum, 1, 0), 1.0)
+        if hard_cutoffs:
+            include = t_after >= T_EPS
+            w = jnp.where(include, alpha * t_before, 0.0)
+            t_masked = jnp.where(include, t_after, jnp.inf)
+            T_new = jnp.min(t_masked, axis=0, keepdims=True)
+            T_new = jnp.where(jnp.isinf(T_new), T, T_new)
+        else:
+            include = jnp.ones_like(t_after, bool)
+            w = alpha * t_before
+            T_new = t_after[g - 1:g, :]
+
+        phi = jax.lax.dot_general(
+            ch["ft"], g_feat, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST) + g_alpha   # [g, px]
+        pi = w * phi
+        pi_cum = _cumsum_sublanes(pi, g)
+        prefix_i = prefix + pi_cum
+        S = total - prefix_i
+        d_alpha = jnp.where(
+            include,
+            t_before * phi - S / jnp.maximum(1.0 - alpha, 1e-6), 0.0)
+        d_alpha = jnp.where(ch["smooth"], d_alpha, 0.0)
+
+        da_dpower = d_alpha * alpha
+        d_lnop = jnp.sum(da_dpower, axis=1)[None, :]          # [1, g]
+        ln_op = ch["ln_op"]
+        d_op = jnp.where(ln_op > -1e29, d_lnop * jnp.exp(-ln_op), 0.0)
+        d_coef = jax.lax.dot_general(
+            da_dpower, basis, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # [g, 8]
+        dcf = d_coef.T
+        mx, my = ch["mx"], ch["my"]
+        c0, c1, c2 = ch["c0"], ch["c1"], ch["c2"]
+        dc0 = -0.5 * mx * mx * dcf[0:1] + mx * dcf[1:2] - 0.5 * dcf[3:4]
+        dc1 = (-mx * my * dcf[0:1] + my * dcf[1:2] + mx * dcf[2:3]
+               - dcf[5:6])
+        dc2 = -0.5 * my * my * dcf[0:1] + my * dcf[2:3] - 0.5 * dcf[4:5]
+        dmx = ((-c0 * mx - c1 * my) * dcf[0:1] + c0 * dcf[1:2]
+               + c1 * dcf[2:3])
+        dmy = ((-c2 * my - c1 * mx) * dcf[0:1] + c1 * dcf[1:2]
+               + c2 * dcf[2:3])
+        d_ft = jax.lax.dot_general(
+            g_feat, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # [c_feat, g]
+
+        d_rows = jnp.concatenate([
+            dmx, dmy, dc0, dc1, dc2, d_op,
+            jnp.zeros((2, g), jnp.float32), d_ft,
+        ], axis=0)
+        if d_rows.shape[0] < pw:
+            d_rows = jnp.concatenate(
+                [d_rows, jnp.zeros((pw - d_rows.shape[0], g), jnp.float32)],
+                axis=0)
+        drows_ref[:] = d_rows
+        t_scr[:] = T_new
+        p_scr[:] = prefix + pi_cum[g - 1:g, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tiles_x", "num_tiles", "tile_size", "g",
+                     "hard_cutoffs"))
+def composite_stream_chunks_backward_pallas(
+    rows: jnp.ndarray,        # [PW, B_al]
+    chunk_tile: jnp.ndarray,  # [B_al/g]
+    g_out: jnp.ndarray,       # [num_tiles, c_out, px] cotangent
+    total: jnp.ndarray,       # [num_tiles, px] = <accum, g_out> per pixel
+    *,
+    tiles_x: int,
+    num_tiles: int,
+    tile_size: int = 16,
+    g: int = 128,
+    hard_cutoffs: bool = True,
+) -> jnp.ndarray:
+    """-> d_rows [PW, B_al]: per-slot gradient rows
+    [dmx, dmy, dc0, dc1, dc2, d_op, 0, 0 | d_feats] in stream order — each
+    chunk's block is owned by one tile, so rows are written conflict-free;
+    the per-Gaussian reduction is the caller's single scatter-add."""
+    pw, b_al = rows.shape
+    c_feat = pw - HDR
+    c_out = c_feat + 1
+    px = tile_size * tile_size
+    assert b_al % g == 0
+    n_chunks = b_al // g
+
+    lx = jnp.tile(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    ly = jnp.repeat(jnp.arange(tile_size, dtype=jnp.float32), tile_size)
+    basis = jnp.stack([jnp.ones_like(lx), lx, ly, lx * lx, ly * ly, lx * ly,
+                       jnp.zeros_like(lx), jnp.zeros_like(lx)], axis=0)
+
+    kernel = functools.partial(
+        _stream_chunk_bwd_kernel, g=g, px=px, c_feat=c_feat,
+        n_chunks=n_chunks, tiles_x=tiles_x, tile_size=tile_size,
+        hard_cutoffs=hard_cutoffs)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((pw, g), lambda c, m: (0, c),
+                         memory_space=pltpu.VMEM),           # rows chunk
+            pl.BlockSpec((1, c_out, px), lambda c, m: (m[c], 0, 0),
+                         memory_space=pltpu.VMEM),           # g_out (tile)
+            pl.BlockSpec((1, 1, px), lambda c, m: (m[c], 0, 0),
+                         memory_space=pltpu.VMEM),           # total (tile)
+            pl.BlockSpec((8, px), lambda c, m: (0, 0),
+                         memory_space=pltpu.VMEM),           # basis
+        ],
+        out_specs=pl.BlockSpec((pw, g), lambda c, m: (0, c),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, px), jnp.float32),
+                        pltpu.VMEM((1, px), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pw, b_al), jnp.float32),
+    )(chunk_tile.astype(jnp.int32), rows, g_out, total[:, None, :], basis)
+
+
+# ---------------------------------------------------------------------------
 # Cell-list compositing: each tile walks its cell's depth-ordered candidate
 # list with the tile-rect test fused into the kernel. Removes the per-tile
 # binning stage entirely (SURVEY §7 hard-part #1 without any compaction) and

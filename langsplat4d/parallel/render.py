@@ -1,0 +1,123 @@
+"""Multi-chip rendering: tile-band model parallelism over the device mesh.
+
+A NEW capability relative to the reference (strictly single-GPU, SURVEY §2
+"Parallelism"). The render frame has two axes worth sharding:
+
+- the GAUSSIAN axis (N): preprocess (projection, conics, SH) is per-Gaussian
+  and embarrassingly parallel — it runs shard-local on the mesh's "gauss"
+  axis exactly as training does (parallel/mesh.py);
+- the TILE axis (T): binning + compositing partition by IMAGE REGION. Each
+  device takes a contiguous band of tile rows, emits/sorts/gathers ONLY its
+  band's (Gaussian, tile) slots (render/stream.py `tile_band`), and
+  composites its band of pixels. Sort cost — the dominant build stage —
+  scales 1/D, and the composite writes are disjoint by construction.
+
+Between the two stages sits ONE collective: an all-gather of the packed
+per-Gaussian render attributes (~16 f32 per visible Gaussian — 13 MB at
+200k, a single ICI hop), the transpose of the scaling-book's "gather the
+small thing, keep the big thing local" rule: the slot stream (the big
+thing, ~1.5M rows) never crosses chips.
+
+Exactness: every band applies the same rect + ellipse-cull tests and the
+same (tile, depth-rank) order as the single-chip narrow build — the band
+builds are bit-identical to the full build's per-band segments; the only
+deviation is one reassociated f32 subtraction in the composite (pix_y is
+shifted into the band frame), observed <= 5e-7 on the stitched image
+(tests/test_parallel.py::test_band_sharded_render_matches_single_device).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from langsplat4d.parallel.mesh import GAUSS_AXIS
+
+
+def render_tiles_sharded(
+    settings,
+    cam,
+    means3d: jnp.ndarray,        # [N, 3] sharded on `axis`
+    opacities: jnp.ndarray,      # [N, 1]
+    scales: jnp.ndarray,         # [N, 3]
+    rotations: jnp.ndarray,      # [N, 4]
+    colors: jnp.ndarray,         # [N, 3]
+    features: jnp.ndarray,       # [N, L]
+    active: jnp.ndarray,         # [N] bool
+    bg: jnp.ndarray,             # [3]
+    mesh,
+    *,
+    axis: str = GAUSS_AXIS,
+    tiers: Tuple[Tuple[int, int], ...],
+    budget: int,
+    ellipse_cull: bool = True,
+) -> jnp.ndarray:
+    """-> [c_out, H, W] image, sharded along H (tile-row bands); c_out is
+    the composite's channel stack (rgb + lang + padding + accum-alpha,
+    same layout as the single-device composite output).
+
+    Inputs arrive sharded on the mesh `axis` (row sharding, as train-state
+    params are); the image leaves sharded along its height. `budget` is the
+    PER-BAND slot budget (size from narrow_valid_count of the worst band,
+    or total/D with margin).
+    """
+    from langsplat4d.ops.tile_composite import composite_stream_pallas
+    from langsplat4d.render.raster import preprocess
+    from langsplat4d.render.stream import build_stream_narrow
+
+    d = mesh.shape[axis]
+    ts = settings.tile_size
+    tiles_y, tiles_x = settings.tiles_y, settings.tiles_x
+    if tiles_y % d != 0:
+        raise ValueError(
+            f"tiles_y={tiles_y} must divide over the {axis} axis ({d}); pad "
+            f"image_height to a multiple of {d * ts}")
+    band_rows = tiles_y // d
+
+    def shard_fn(cam_in, xyz, op, sc, rot, cols, feats, act, bg_in):
+        # 1. shard-local preprocess over this chip's Gaussian rows
+        prep = preprocess(settings, cam_in, xyz, jnp.zeros_like(xyz[:, :2]),
+                          op, sc, rot, None, colors_precomp=cols, active=act)
+        # 2. all-gather the small per-Gaussian attributes (one ICI hop);
+        #    tiled=True concatenates along the row axis
+        gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
+        prep_full = {k: gather(v) for k, v in prep.items()}
+        feats_full = gather(feats)
+        # 3. band-local narrow build: this chip's tile rows only
+        ty0 = jax.lax.axis_index(axis).astype(jnp.int32) * band_rows
+        rows, starts, _ = build_stream_narrow(
+            settings, prep_full, feats_full, tiers=tiers, budget=budget,
+            ellipse_cull=ellipse_cull, tile_band=(ty0, band_rows))
+        # the composite kernel derives each tile's pixel origin from its
+        # BAND-LOCAL index (oy = tile // tiles_x * ts), while the packed
+        # pix_y column is in global image coordinates — shift it into the
+        # band's frame so the quadratic evaluates at the right offset
+        rows = rows.at[1].add(-(ty0.astype(jnp.float32) * ts))
+        # 4. composite this band's tiles
+        out = composite_stream_pallas(
+            rows, starts, bg_in, tiles_x=tiles_x,
+            num_tiles=band_rows * tiles_x, tile_size=ts,
+            tb=settings.pallas_tile_block,
+            g=settings.composite_chunk,
+            hard_cutoffs=settings.hard_cutoffs)
+        # channel count comes from the packed-table width (the narrow build
+        # pads attribute columns to PW=16): c_out = PW - HDR + 1, same layout
+        # as the single-device composite output.
+        out = out[: band_rows * tiles_x]
+        c_out = out.shape[1]
+        img = out.reshape(band_rows, tiles_x, c_out, ts, ts)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            c_out, band_rows * ts, tiles_x * ts)
+        return img[:, :, : settings.image_width]
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False)
+    img = fn(cam, means3d, opacities, scales, rotations, colors, features,
+             active, bg)
+    return img[:, : settings.image_height, :]

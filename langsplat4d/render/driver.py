@@ -172,7 +172,8 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
                         settings, p, tiers=tiers,
                         ellipse_cull=settings.stream_ellipse_cull))
                 n_est = int(count_fn(prep))
-                for v in views[len(views) // 2::max(len(views) // 2, 1)]:
+                sample_idx = sorted({len(views) // 2, len(views) - 1})
+                for v in (views[i] for i in sample_idx if i > 0):
                     p_v = preprocess(
                         settings, v.camera_params(), gs.xyz,
                         jnp.zeros((gs.capacity, 2)),

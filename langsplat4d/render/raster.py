@@ -125,6 +125,16 @@ class RasterSettings:
     # alpha >= 1/255 ellipse (exactness-preserving: the compositor applies
     # the same cutoff per pixel).
     stream_ellipse_cull: bool = True
+    # Morton-reorder the narrow build's row table (locality of the budgeted
+    # gather vs one argsort + inverse scatter + [N,16] gather of build cost).
+    stream_morton: bool = True
+    # Stream-binned TRAINING path (render/stream_vjp.py): differentiable
+    # chunk-aligned stream composite with the fused analytic fwd/bwd pallas
+    # pair — replaces bin_tiles + the [T*K]-row gather/scatter of the
+    # tile-list analytic VJP. Needs stream_budget > 0 (sized by the loop);
+    # stream_train_chunk is the aligned chunk width (the pallas grid unit).
+    stream_train: bool = False
+    stream_train_chunk: int = 128
     # Analytic custom-VJP compositing for training (hand-derived backward,
     # ~2x faster than autodiff through the scan; gradient-equality tested).
     analytic_vjp: bool = True
@@ -777,6 +787,29 @@ def _composite_cells(settings: RasterSettings, prep, features, bg):
     return img[:, : settings.image_height, : settings.image_width]
 
 
+def _composite_stream_train(settings: RasterSettings, prep, features, bg):
+    """Differentiable stream-binned composite for training
+    (render/stream_vjp.py): narrow-sort chunk-aligned build (stop-grad) +
+    ONE differentiable gather + fused analytic fwd/bwd pallas pair."""
+    from langsplat4d.render.stream import build_stream_train
+    from langsplat4d.render.stream_vjp import composite_stream_train
+    ts = settings.tile_size
+    info = build_stream_train(
+        settings, prep, tiers=settings.stream_tiers,
+        budget=settings.stream_budget, chunk=settings.stream_train_chunk,
+        ellipse_cull=settings.stream_ellipse_cull)
+    packed = jnp.concatenate(
+        [prep["point_image"], prep["conic"], prep["opacity"][:, None],
+         prep["colors"], features, prep["depth"][:, None]], axis=1)
+    accum = composite_stream_train(settings, packed, info["src"],
+                                   info["valid"], info["chunk_tile"], bg)
+    c_out = accum.shape[1]
+    img = accum.reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        c_out, settings.tiles_y * ts, settings.tiles_x * ts)
+    return img[:, : settings.image_height, : settings.image_width]
+
+
 def _composite_stream(settings: RasterSettings, prep, features, bg):
     """Stream-binned Pallas compositing (render/stream.py + the
     ragged-segment kernel): no per-tile lists, no pack gather."""
@@ -857,7 +890,9 @@ def rasterize(
                       rotations, shs, colors_precomp, cov3d_precomp, active)
     feats = language_features if settings.include_feature else (
         jnp.zeros((means3d.shape[0], 0), means3d.dtype))
-    if settings.stream_binning:
+    if settings.stream_train:
+        img = _composite_stream_train(settings, prep, feats, bg)
+    elif settings.stream_binning:
         img = _composite_stream(settings, prep, feats, bg)
     elif settings.pallas_cell_composite:
         img = _composite_cells(settings, prep, feats, bg)

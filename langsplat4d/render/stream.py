@@ -202,8 +202,16 @@ def build_stream_narrow(
     tiers: Tuple[Tuple[int, int], ...],
     budget: int,
     ellipse_cull: bool = True,
+    tile_band: Tuple[int, int] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Narrow-sort stream build: -> (rows [16, budget], starts [T+1], n_valid).
+
+    `tile_band` = (ty0, band_rows) restricts the build to tile rows
+    [ty0, ty0 + band_rows) — the multi-chip tile partition
+    (parallel/render.py): each chip emits, sorts and gathers ONLY its
+    band's slots, so sort cost scales 1/D. `band_rows` must be a static
+    int (shapes); `ty0` may be traced (e.g. axis_index * band_rows under
+    shard_map). Keys and `starts` are band-local (row ty -> ty - ty0).
 
     The classic `build_stream` carries all 12 packed attribute columns
     through the global (tile, depth) sort; at exact-coverage emission counts
@@ -232,9 +240,85 @@ def build_stream_narrow(
     prep = jax.lax.stop_gradient(prep)
     features = jax.lax.stop_gradient(features)
     n = prep["depth"].shape[0]
-    num_tiles = settings.num_tiles
     tiles_x = settings.tiles_x
     ts = settings.tile_size
+    if tile_band is None:
+        ty0, band_rows = 0, settings.tiles_y
+    else:
+        ty0, band_rows = tile_band
+    num_tiles = band_rows * tiles_x            # band-local tile count
+
+    use_morton = getattr(settings, "stream_morton", True)
+    morder, mpos = _morton_table_order(settings, prep, use_morton)
+
+    depth = prep["depth"]
+    ln_op = jnp.log(jnp.maximum(prep["opacity"], 1e-30))
+    L = features.shape[1]
+    zero = jnp.zeros((n,), jnp.float32)
+    # ONE stacked build: 14 separate .at[:, i].set column writes into the
+    # row-major [N, 16] table each cost a full stride-16 pass (~0.8 ms at
+    # N=200k measured — they dominated the emission stage in traces)
+    col_list = [
+        prep["point_image"][:, 0], prep["point_image"][:, 1],
+        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
+        ln_op, zero, zero,
+        prep["colors"][:, 0], prep["colors"][:, 1], prep["colors"][:, 2],
+        *[features[:, i] for i in range(L)],
+        depth,
+    ]
+    col_list += [zero] * (PW - len(col_list))
+    packed = jnp.stack(col_list, axis=1)
+    table = packed[morder] if use_morton else packed   # [N, 16]
+
+    k_sorted, s_sorted, n_valid = _narrow_sorted_pairs(
+        settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull,
+        tile_band=tile_band)
+    budget = min(int(budget), int(k_sorted.shape[0]))
+    k_b = k_sorted[:budget]
+    s_b = s_sorted[:budget]
+
+    rows = table[s_b].T                        # [16, budget]
+    bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS)
+    starts = jnp.searchsorted(k_b, bounds).astype(jnp.int32)
+    return rows, starts, n_valid
+
+
+def _morton_table_order(settings, prep, use_morton: bool):
+    """(morder, mpos): the Morton table permutation and its inverse.
+
+    Optional (costs one argsort + one inverse-permutation scatter); buys
+    locality in the budgeted row gather — A/B via settings.stream_morton.
+    """
+    n = prep["depth"].shape[0]
+    ts = settings.tile_size
+    if not use_morton:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        return idx, idx
+    tx_c = jnp.clip((prep["point_image"][:, 0] / ts).astype(jnp.int32),
+                    0, settings.tiles_x - 1)
+    ty_c = jnp.clip((prep["point_image"][:, 1] / ts).astype(jnp.int32),
+                    0, settings.tiles_y - 1)
+    morder = jnp.argsort(_morton_u32(tx_c, ty_c), stable=False)
+    mpos = jnp.zeros(n, jnp.int32).at[morder].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return morder, mpos
+
+
+def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
+                         tile_band=None):
+    """Shared narrow-sort emission: -> (k_sorted [M] u32, s_sorted [M] i32,
+    n_valid). `src_ids` [N] i32 is the per-Gaussian payload carried through
+    the sort (Morton position for the render build, original id for the
+    training build). Keys pack (band-local tile) << RANK_BITS | depth_rank;
+    invalid slots get KEY_SENTINEL and sort to the end."""
+    n = prep["depth"].shape[0]
+    tiles_x = settings.tiles_x
+    ts = settings.tile_size
+    if tile_band is None:
+        ty0, band_rows = 0, settings.tiles_y
+    else:
+        ty0, band_rows = tile_band
+    num_tiles = band_rows * tiles_x
     if n > RANK_CAP or num_tiles >= (1 << 14):
         raise ValueError(
             f"narrow stream build needs capacity<=2^18 and tiles<2^14 "
@@ -252,33 +336,6 @@ def build_stream_narrow(
     dorder = jnp.argsort(big, stable=False)
     rank = jnp.zeros(n, jnp.uint32).at[dorder].set(
         jnp.arange(n, dtype=jnp.uint32))
-
-    # ---- Morton-ordered row table ----
-    tx_c = jnp.clip((prep["point_image"][:, 0] / ts).astype(jnp.int32),
-                    0, tiles_x - 1)
-    ty_c = jnp.clip((prep["point_image"][:, 1] / ts).astype(jnp.int32),
-                    0, settings.tiles_y - 1)
-    morder = jnp.argsort(_morton_u32(tx_c, ty_c), stable=False)
-    mpos = jnp.zeros(n, jnp.int32).at[morder].set(
-        jnp.arange(n, dtype=jnp.int32))
-
-    ln_op = jnp.log(jnp.maximum(prep["opacity"], 1e-30))
-    L = features.shape[1]
-    zero = jnp.zeros((n,), jnp.float32)
-    # ONE stacked build: 14 separate .at[:, i].set column writes into the
-    # row-major [N, 16] table each cost a full stride-16 pass (~0.8 ms at
-    # N=200k measured — they dominated the emission stage in traces)
-    col_list = [
-        prep["point_image"][:, 0], prep["point_image"][:, 1],
-        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
-        ln_op, zero, zero,
-        prep["colors"][:, 0], prep["colors"][:, 1], prep["colors"][:, 2],
-        *[features[:, i] for i in range(L)],
-        depth,
-    ]
-    col_list += [zero] * (PW - len(col_list))
-    packed = jnp.stack(col_list, axis=1)
-    table = packed[morder]                     # [N, 16] Morton-ordered
 
     # ellipse-cull threshold: alpha >= 1/255 iff q <= 2*ln(255*op)
     t2 = 2.0 * jnp.log(jnp.maximum(255.0 * prep["opacity"], 1.0))
@@ -302,6 +359,9 @@ def build_stream_narrow(
         txs = r0x[None, :] + dxs                       # [S, B] f32
         tys = r0y[None, :] + dys
         ok = active[None, :] & (txs < r1x[None, :]) & (tys < r1y[None, :])
+        if tile_band is not None:                      # tile-band restrict
+            ty0f = jnp.asarray(ty0, jnp.float32)
+            ok = ok & (tys >= ty0f) & (tys < ty0f + float(band_rows))
         if ellipse_cull:
             q = _tile_min_quad(
                 cA[None, :], cB[None, :], cC[None, :], px[None, :],
@@ -309,7 +369,9 @@ def build_stream_narrow(
                 txs * float(ts), txs * float(ts) + (ts - 1.0),
                 tys * float(ts), tys * float(ts) + (ts - 1.0))
             ok = ok & (q <= tt2[None, :])
-        key = (txs + tys * tiles_x).astype(jnp.uint32) << RANK_BITS
+        ty_loc = tys if tile_band is None \
+            else tys - jnp.asarray(ty0, jnp.float32)
+        key = (txs + ty_loc * tiles_x).astype(jnp.uint32) << RANK_BITS
         key = key | d_rank.astype(jnp.uint32)[None, :]
         key_parts.append(jnp.where(ok, key, KEY_SENTINEL).reshape(-1))
         src_parts.append(jnp.broadcast_to(
@@ -318,7 +380,7 @@ def build_stream_narrow(
     fields_full = (
         rmin[:, 0].astype(jnp.float32), rmin[:, 1].astype(jnp.float32),
         rmax[:, 0].astype(jnp.float32), rmax[:, 1].astype(jnp.float32),
-        rank.astype(jnp.float32), mpos.astype(jnp.float32),
+        rank.astype(jnp.float32), src_ids.astype(jnp.float32),
         conic[:, 0], conic[:, 1], conic[:, 2], pix[:, 0], pix[:, 1], t2)
 
     t1_slots = [(dx, dy) for dy in range(2) for dx in range(2)]
@@ -350,14 +412,83 @@ def build_stream_narrow(
     # last tile's searchsorted bound — the stable sort measures 2-4x slower.
     k_sorted, s_sorted = jax.lax.sort((key_all, src_all), num_keys=1,
                                       is_stable=False)
-    budget = min(int(budget), int(key_all.shape[0]))
-    k_b = k_sorted[:budget]
-    s_b = s_sorted[:budget]
+    return k_sorted, s_sorted, n_valid
 
-    rows = table[s_b].T                        # [16, budget]
+
+def build_stream_train(
+    settings,
+    prep: Dict[str, jnp.ndarray],
+    *,
+    tiers: Tuple[Tuple[int, int], ...],
+    budget: int,
+    chunk: int = 128,
+    ellipse_cull: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Chunk-aligned stream build for the TRAINING path (stream_vjp.py).
+
+    Like build_stream_narrow this sorts (tile<<18 | depth-rank, src) pairs
+    only, but instead of gathering a stop-gradient row table it returns the
+    slot -> Gaussian INDEX map remapped onto a `chunk`-aligned layout, so the
+    caller can do ONE differentiable gather `packed[src]` whose VJP is one
+    scatter-add. The alignment guarantees every `chunk`-wide block of slots
+    belongs to exactly ONE tile (each segment starts on a chunk boundary and
+    every tile owns >= 1 chunk), which is what lets the backward kernel
+    write its per-slot gradient rows with no cross-tile write conflicts and
+    the fwd/bwd kernels run with the chunk index as the (sequential) pallas
+    grid.
+
+    Returns dict:
+      src        [B_al] i32  original Gaussian index per aligned slot
+      valid      [B_al] bool slot holds a real (tile, Gaussian) pair
+      starts     [T+1]  i32  aligned segment starts (multiples of `chunk`)
+      chunk_tile [B_al/chunk] i32  owning tile per chunk (pallas prefetch)
+      n_valid    []     i32  total emitted valid slots (overflow telemetry:
+                             slots beyond `budget` are dropped)
+    where B_al = budget + num_tiles * chunk (static).
+    """
+    prep = jax.lax.stop_gradient(prep)
+    g = int(chunk)
+    num_tiles = settings.num_tiles
+    budget = int(budget)
+    if budget % g:
+        raise ValueError(f"budget {budget} must be a multiple of chunk {g}")
+    b_al = budget + num_tiles * g              # worst-case aligned capacity
+    n_chunks = b_al // g
+
+    use_morton = getattr(settings, "stream_morton", True)
+    morder, mpos = _morton_table_order(settings, prep, use_morton)
+    k_sorted, s_sorted, n_valid = _narrow_sorted_pairs(
+        settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull)
+    budget = min(budget, int(k_sorted.shape[0]))
+    k_b = k_sorted[:budget]
+    # compose the Morton permutation back to original ids: ONE [budget]
+    # int32 gather instead of gathering rows through a reordered table
+    s_b = morder[s_sorted[:budget]] if use_morton else s_sorted[:budget]
+
     bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS)
-    starts = jnp.searchsorted(k_b, bounds).astype(jnp.int32)
-    return rows, starts, n_valid
+    raw_starts = jnp.searchsorted(k_b, bounds).astype(jnp.int32)  # [T+1]
+
+    # ---- chunk-aligned remap ----
+    seg_len = raw_starts[1:] - raw_starts[:-1]                    # [T]
+    seg_chunks = jnp.maximum(-(-seg_len // g), 1)                 # >=1 chunk
+    chunk_end = jnp.cumsum(seg_chunks)                            # [T]
+    chunk_start = chunk_end - seg_chunks
+    cidx = jnp.arange(n_chunks, dtype=jnp.int32)
+    # tail chunks (beyond the last used one) clamp to the last tile; their
+    # slots are invalid so they contribute nothing
+    chunk_tile = jnp.clip(
+        jnp.searchsorted(chunk_end, cidx, side="right"),
+        0, num_tiles - 1).astype(jnp.int32)
+    p = jnp.arange(b_al, dtype=jnp.int32)
+    t_p = chunk_tile[p // g]
+    off = p - chunk_start[t_p] * g             # position within the segment
+    valid = (off >= 0) & (off < seg_len[t_p])
+    j = jnp.clip(raw_starts[t_p] + off, 0, budget - 1)
+    src = jnp.where(valid, s_b[j], 0)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), chunk_end.astype(jnp.int32) * g])
+    return dict(src=src, valid=valid, starts=starts,
+                chunk_tile=chunk_tile, n_valid=n_valid)
 
 
 def narrow_valid_count(settings, prep, *, tiers, ellipse_cull=True):

@@ -265,6 +265,76 @@ def _gui_poll(cfg: Config, scene: Scene, state: TrainState,
             network_gui.conn = None
 
 
+def _tune_stream_train(cfg: Config, settings: RasterSettings,
+                       train_cams, state: TrainState):
+    """Size the stream-binned TRAINING composite (render/stream_vjp.py).
+
+    Autotunes the span tiers and the chunk-aligned slot budget from the
+    initial Gaussians over a few sample views, and returns an `audit`
+    closure the densify block calls every densification interval: the CUDA
+    reference reallocates its duplicate+sort buffers dynamically per frame
+    (4d-langsplat-rasterization submodule); the XLA analogue is a measured
+    budget + periodic re-audit that re-specializes the jitted step when
+    densification grows the emission count past the margin — recompiles
+    land at densify cadence, never in the hot loop.
+
+    Returns (settings, audit) where audit(settings, state, cam) -> replaced
+    settings (budget bumped) or None. Sizing uses CANONICAL (undeformed)
+    attributes like the render driver's autotune (render/driver.py); the
+    1.3 margin absorbs deformation-induced drift.
+    """
+    import dataclasses as _dc
+
+    from langsplat4d.core.transforms import safe_normalize
+    from langsplat4d.render.raster import preprocess
+    from langsplat4d.render.stream import autotune_tiers, narrow_valid_count
+
+    chunk = settings.stream_train_chunk
+    gran = max(8192, chunk)
+
+    def _prep(gs, camp):
+        return preprocess(
+            settings, camp, gs.xyz, jnp.zeros((gs.capacity, 2)),
+            jax.nn.sigmoid(gs.opacity), jnp.exp(gs.scaling),
+            safe_normalize(gs.rotation), None,
+            colors_precomp=jnp.zeros((gs.capacity, 3)),
+            active=gs.active_mask())
+
+    prep_fn = jax.jit(_prep)
+    p0 = prep_fn(state.gaussians(), train_cams[0].camera_params())
+    rmin = np.asarray(p0["rect_min"])
+    rmax = np.asarray(p0["rect_max"])
+    vism = np.asarray(p0["visible"])
+    spans = np.maximum((rmax[:, 0] - rmin[:, 0])[vism],
+                       (rmax[:, 1] - rmin[:, 1])[vism])
+    tiers = autotune_tiers(spans)
+
+    count_fn = jax.jit(lambda gs, camp: narrow_valid_count(
+        settings, _prep(gs, camp), tiers=tiers,
+        ellipse_cull=settings.stream_ellipse_cull))
+    idxs = sorted({0, len(train_cams) // 2, len(train_cams) - 1})
+    n_est = max(int(count_fn(state.gaussians(),
+                             train_cams[i].camera_params()))
+                for i in idxs)
+    budget = max(gran, -(-int(n_est * 1.3) // gran) * gran)
+    settings = _dc.replace(settings, stream_train=True, stream_tiers=tiers,
+                           stream_budget=budget)
+    logger.info(f"stream-train composite: tiers={tiers} budget={budget} "
+                f"(demand {n_est} over {len(idxs)} views, chunk {chunk})")
+
+    def audit(cur: RasterSettings, st: TrainState, cam) -> RasterSettings:
+        n = int(count_fn(st.gaussians(), cam.camera_params()))
+        if n <= int(cur.stream_budget * 0.85):
+            return None
+        new_budget = -(-int(n * 1.3) // gran) * gran
+        logger.info(
+            f"stream-train budget {cur.stream_budget} -> {new_budget} "
+            f"(demand {n} after densification); re-specializing the step")
+        return _dc.replace(cur, stream_budget=new_budget)
+
+    return settings, audit
+
+
 def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                          dcfg: DeformConfig, stage: str, joint_train: bool,
                          train_iter: int, timer: Timer,
@@ -296,6 +366,10 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         # fused Pallas primal + backward inside the analytic VJP (TPU only)
         vjp_pallas_forward=jax.default_backend() == "tpu",
         vjp_pallas_backward=jax.default_backend() == "tpu")
+    stream_audit = None
+    if cfg.runtime.stream_train:
+        settings, stream_audit = _tune_stream_train(cfg, settings,
+                                                    train_cams, state)
     lr_cfg = LRConfig.from_optim(opt, scene.cameras_extent)
     step_cfg = StepConfig(
         settings=settings, dcfg=dcfg, lr_cfg=lr_cfg, stage=stage,
@@ -487,6 +561,15 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
             if iteration % opt.opacity_reset_interval == 0:
                 logger.info("reset opacity")
                 state = D.reset_opacity(state)
+
+            # stream-train budget audit: densification grows the emission
+            # count; bump the slot budget (one re-jit, off the hot path)
+            # before truncation could silently clip training gradients.
+            if (stream_audit is not None
+                    and iteration % opt.densification_interval == 0):
+                new_settings = stream_audit(step_cfg.settings, state, cams[0])
+                if new_settings is not None:
+                    step_cfg = step_cfg._replace(settings=new_settings)
 
         if (iteration in ex.checkpoint_iterations) and "fine" in stage:
             save_checkpoint(state, iteration, stage, cfg.model.model_path)

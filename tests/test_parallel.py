@@ -161,3 +161,63 @@ def test_sharded_render_matches_single_device():
     np.testing.assert_allclose(np.asarray(out["language_feature_image"]),
                                np.asarray(ref["language_feature_image"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_band_sharded_render_matches_single_device():
+    """Tile-band model-parallel render (parallel/render.py): 4 devices each
+    build + composite one band of tile rows; the stitched image must match
+    the single-device narrow-stream render to float rounding (the band
+    composite shifts pix_y into the band frame, which reassociates one f32
+    subtraction — observed max diff ~5e-7). (Sized for pallas interpret
+    mode: 64x64 / 4x4 tiles / budget 1024.)"""
+    from jax.experimental.pallas import tpu as pltpu
+    from langsplat4d.ops.tile_composite import composite_stream_pallas
+    from langsplat4d.parallel.mesh import make_mesh
+    from langsplat4d.parallel.render import render_tiles_sharded
+    from langsplat4d.render.raster import RasterSettings, preprocess
+    from langsplat4d.render.stream import build_stream_narrow
+    from tests.test_raster import make_camera, random_scene
+
+    rng = np.random.default_rng(7)
+    n = 96
+    H = W = 64                       # tiles_y = 4 -> one tile row per device
+    cam = make_camera(H, W)
+    settings = RasterSettings(H, W, sh_degree=0, lang_dim=3,
+                              include_feature=True, tile_capacity=64,
+                              composite_chunk=32)
+    means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+    means, scales, quats = (jnp.asarray(means), jnp.asarray(scales),
+                            jnp.asarray(quats))
+    opac, colors, lang = (jnp.asarray(opac), jnp.asarray(colors),
+                          jnp.asarray(lang))
+    active = jnp.ones(n, bool)
+    bg = jnp.zeros(3)
+    tiers = ((3, 64), (6, 64), (16, 64))
+    budget = 1024
+
+    with pltpu.force_tpu_interpret_mode():
+        # single-device reference: full narrow build + composite
+        prep = preprocess(settings, cam, means, jnp.zeros((n, 2)), opac,
+                          scales, quats, None, colors_precomp=colors,
+                          active=active)
+        rows, starts, _ = build_stream_narrow(
+            settings, prep, lang, tiers=tiers, budget=budget)
+        ref = composite_stream_pallas(
+            rows, starts, bg, tiles_x=settings.tiles_x,
+            num_tiles=settings.num_tiles, tile_size=settings.tile_size,
+            tb=settings.pallas_tile_block, g=settings.composite_chunk,
+            hard_cutoffs=settings.hard_cutoffs)
+        c_out = ref.shape[1]
+        ts = settings.tile_size
+        ref_img = (ref[: settings.num_tiles]
+                   .reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
+                   .transpose(2, 0, 3, 1, 4)
+                   .reshape(c_out, settings.tiles_y * ts,
+                            settings.tiles_x * ts)[:, :H, :W])
+
+        mesh = make_mesh(4, data=1, gauss=4)
+        img = render_tiles_sharded(
+            settings, cam, means, opac, scales, quats, colors, lang, active,
+            bg, mesh, tiers=tiers, budget=budget)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                                   rtol=1e-5, atol=1e-6)

@@ -589,3 +589,28 @@ class TestNarrowStream:
                 dropped_total += 1
         # the cull must actually fire on this scene
         assert dropped_total > 0
+
+    def test_valid_count_matches_build(self, rng):
+        """narrow_valid_count (the driver's budget sizer) must equal the
+        n_valid the real build reports, for both cull settings."""
+        from langsplat4d.render.stream import (build_stream_narrow,
+                                               narrow_valid_count)
+        n, H, W = 96, 64, 64
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=3, include_feature=True,
+            tile_capacity=64)
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+        prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+            settings, cam, mn, dm, op, sc, qt, None, cl))(
+            jnp.asarray(means), jnp.zeros((n, 2)), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+        tiers = ((3, 64), (6, 64), (16, 64))
+        for cull in (False, True):
+            _, _, n_valid = jax.jit(lambda p, f: build_stream_narrow(
+                settings, p, f, tiers=tiers, budget=4096,
+                ellipse_cull=cull))(prep, jnp.asarray(lang))
+            n_est = jax.jit(lambda p: narrow_valid_count(
+                settings, p, tiers=tiers, ellipse_cull=cull))(prep)
+            assert int(n_est) == int(n_valid), (cull, int(n_est),
+                                                int(n_valid))

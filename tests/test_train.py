@@ -319,3 +319,40 @@ class TestDiscreteStagePrep:
         lf0 = lf[0] / (np.linalg.norm(lf[0]) + 1e-9)
         # noisy copies around the normalized static feature (std 0.05)
         assert np.linalg.norm(as_centers - lf0[None], axis=-1).max() < 0.5
+
+
+class TestStreamTrainTuning:
+    def test_tune_and_audit(self, rng):
+        """_tune_stream_train sizes a chunk-multiple budget from the scene
+        and its audit closure bumps the budget only when demand outgrows
+        the margin (no pallas involved — pure sizing logic)."""
+        import dataclasses
+        from langsplat4d.config import Config
+        from langsplat4d.train.loop import _tune_stream_train
+
+        state, dcfg = tiny_state(rng, n=40, cap=64)
+        cam = make_camera(64, 64)
+
+        class _View:
+            def camera_params(self):
+                return cam
+
+        cams = [_View() for _ in range(5)]
+        cfg = Config()
+        settings = RasterSettings(64, 64, sh_degree=0, lang_dim=3,
+                                  include_feature=True,
+                                  stream_train_chunk=128)
+        tuned, audit = _tune_stream_train(cfg, settings, cams, state)
+        assert tuned.stream_train
+        assert tuned.stream_budget > 0
+        assert tuned.stream_budget % tuned.stream_train_chunk == 0
+        assert len(tuned.stream_tiers) >= 1
+
+        # demand unchanged -> no re-spec
+        assert audit(tuned, state, cams[0]) is None
+        # force a tiny budget -> audit must bump it to a chunk multiple
+        small = dataclasses.replace(tuned, stream_budget=128)
+        bumped = audit(small, state, cams[0])
+        assert bumped is not None
+        assert bumped.stream_budget > 128
+        assert bumped.stream_budget % tuned.stream_train_chunk == 0
