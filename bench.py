@@ -179,6 +179,36 @@ def _bench_train_step():
         # training loop configures on TPU
         vjp_pallas_forward=os.getenv("BENCH_PALLAS_VJP", "1") == "1",
         vjp_pallas_backward=os.getenv("BENCH_PALLAS_VJP", "1") == "1")
+    if os.getenv("BENCH_STREAM_TRAIN", "0") == "1":
+        # A/B arm: stream-binned training composite (render/stream_vjp.py)
+        # sized exactly as the training loop sizes it (train/loop.py
+        # _tune_stream_train): autotuned span tiers + chunk-aligned budget.
+        import dataclasses
+
+        from langsplat4d.core.transforms import safe_normalize
+        from langsplat4d.render.raster import preprocess
+        from langsplat4d.render.stream import (autotune_tiers,
+                                               narrow_valid_count)
+        prep = jax.jit(lambda g, c: preprocess(
+            settings, c, g.xyz, jnp.zeros((g.capacity, 2)),
+            jax.nn.sigmoid(g.opacity), jnp.exp(g.scaling),
+            safe_normalize(g.rotation), None,
+            colors_precomp=jnp.zeros((g.capacity, 3)),
+            active=g.active_mask()))(gs, jax.tree.map(lambda x: x[0], cam))
+        rmin, rmax = np.asarray(prep["rect_min"]), np.asarray(prep["rect_max"])
+        vis = np.asarray(prep["visible"])
+        spans = np.maximum((rmax[:, 0] - rmin[:, 0])[vis],
+                           (rmax[:, 1] - rmin[:, 1])[vis])
+        tiers = autotune_tiers(spans)
+        n_est = int(jax.jit(lambda p: narrow_valid_count(
+            settings, p, tiers=tiers))(prep))
+        budget = -(-int(n_est * 1.3) // 8192) * 8192
+        settings = dataclasses.replace(
+            settings, stream_train=True, stream_tiers=tiers,
+            stream_budget=budget)
+        print(f"stream-train arm: tiers={tiers} budget={budget} "
+              f"(demand {n_est})", file=sys.stderr)
+
     step_cfg = StepConfig(
         settings=settings, dcfg=dcfg,
         lr_cfg=LRConfig.from_optim(OptimizationConfig(), 1.0),

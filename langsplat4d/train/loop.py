@@ -370,6 +370,33 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
     if cfg.runtime.stream_train:
         settings, stream_audit = _tune_stream_train(cfg, settings,
                                                     train_cams, state)
+
+    # ---- multi-chip mesh (runtime.data_parallel x runtime.gaussian_shards,
+    # a NEW capability vs the strictly single-GPU reference) ----
+    # Gaussian-axis sharding always applies (per-Gaussian params + Adam
+    # moments + N-axis compute shard; XLA all-gathers the small render
+    # attributes over ICI). The data axis additionally shards the camera
+    # batch — only usable when the stage's batch size divides over it
+    # (lang stages run batch 1, reference train.py:207).
+    mesh = None
+    shard_batch_fn = None
+    n_mesh = cfg.runtime.data_parallel * cfg.runtime.gaussian_shards
+    if n_mesh > 1:
+        from langsplat4d.parallel.mesh import (make_mesh, shard_batch,
+                                               shard_state)
+        mesh = make_mesh(n_mesh, data=cfg.runtime.data_parallel,
+                         gauss=cfg.runtime.gaussian_shards)
+        state = shard_state(state, mesh)
+        data_shardable = (batch_size % cfg.runtime.data_parallel == 0
+                          and cfg.runtime.data_parallel > 1)
+        if data_shardable:
+            shard_batch_fn = lambda b: shard_batch(b, mesh)  # noqa: E731
+        logger.info(
+            f"mesh: data{cfg.runtime.data_parallel} x "
+            f"gauss{cfg.runtime.gaussian_shards} "
+            f"(batch {'sharded' if data_shardable else 'replicated'} "
+            f"at batch_size={batch_size})")
+
     lr_cfg = LRConfig.from_optim(opt, scene.cameras_extent)
     step_cfg = StepConfig(
         settings=settings, dcfg=dcfg, lr_cfg=lr_cfg, stage=stage,
@@ -379,7 +406,10 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         # the reference's plane-reg guard (`stage == "fine"`) never matches its
         # stage names (train.py:331) — preserved: regularizer off by default.
         time_smoothness_weight=0.0,
-        batch_size=batch_size)
+        batch_size=batch_size,
+        # data-sharded batches need the vmapped camera loop (lax.map is
+        # sequential and cannot shard the batch axis)
+        vmap_batch=shard_batch_fn is not None)
 
     def batch_source():
         """Camera sampling + batch building, run `prefetch_depth` iterations
@@ -411,6 +441,13 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                         viewpoint_stack.extend(temp_list)
                     cams.append(train_cams[idx])
             yield cams, build_batch(cams, cfg, scene, split)
+
+    import contextlib
+
+    def mctx():
+        # Mesh is a reusable context manager; densify's sharding constraints
+        # read the thread-local mesh at trace time (densify.py:52-72)
+        return mesh if mesh is not None else contextlib.nullcontext()
 
     from langsplat4d.data.prefetch import prefetch
     ema_loss = 0.0
@@ -454,10 +491,13 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
             state = one_up_sh_degree(state, cfg.model.sh_degree)
 
         cams, batch = next(batch_iter)
+        if shard_batch_fn is not None:
+            batch = shard_batch_fn(batch)
 
-        state, metrics, vs_grad, visibility, radii_max = train_step(
-            step_cfg, state, batch, bg, jnp.asarray(iteration, jnp.int32),
-            state.active_sh_degree)
+        with mctx():
+            state, metrics, vs_grad, visibility, radii_max = train_step(
+                step_cfg, state, batch, bg,
+                jnp.asarray(iteration, jnp.int32), state.active_sh_degree)
         pending_losses.append((iteration, metrics["loss"]))
 
         if iteration % 10 == 0 or iteration == train_iter:
@@ -503,8 +543,9 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
 
         # ---- densification (base stages only, train.py:388-414) ----
         if iteration < opt.densify_until_iter and "base" in stage:
-            state = D.update_max_radii(state, radii_max, visibility)
-            state = D.add_densification_stats(state, vs_grad, visibility)
+            with mctx():
+                state = D.update_max_radii(state, radii_max, visibility)
+                state = D.add_densification_stats(state, vs_grad, visibility)
 
             if "coarse" in stage:
                 opacity_threshold = opt.opacity_threshold_coarse
@@ -526,9 +567,10 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                     and iteration % opt.densification_interval == 0
                     and host_n_active < opt.max_points):
                 split_key, sub = jax.random.split(split_key)
-                state = D.densify(state, densify_threshold,
-                                  scene.cameras_extent, opt.percent_dense,
-                                  sub)
+                with mctx():
+                    state = D.densify(state, densify_threshold,
+                                      scene.cameras_extent,
+                                      opt.percent_dense, sub)
                 host_n_active = int(state.num_active)
                 if host_n_active >= state.capacity:
                     logger.warning(
@@ -540,17 +582,19 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                     and host_n_active > opt.min_points_for_prune):
                 size_threshold = (20.0 if iteration > opt.opacity_reset_interval
                                   else 0.0)
-                state = D.prune(state, opacity_threshold,
-                                scene.cameras_extent, size_threshold)
+                with mctx():
+                    state = D.prune(state, opacity_threshold,
+                                    scene.cameras_extent, size_threshold)
                 host_n_active = int(state.num_active)
             if (opt.add_point and iteration % opt.densification_interval == 0
                     and host_n_active < opt.max_points):
                 # point growing (train.py:409-410, grow(5,5,...)); thresholds
                 # halve when a round adds <100 points, mirroring the
                 # reference's self-mutating state (gaussian_model.py:694-697)
-                state, added = D.grow(
-                    state, grow_ctx["density_threshold"],
-                    grow_ctx["displacement_scale"], seed=iteration)
+                with mctx():
+                    state, added = D.grow(
+                        state, grow_ctx["density_threshold"],
+                        grow_ctx["displacement_scale"], seed=iteration)
                 if added < 100:
                     grow_ctx["density_threshold"] /= 2
                     grow_ctx["displacement_scale"] /= 2
@@ -560,7 +604,8 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                 host_n_active = int(state.num_active)
             if iteration % opt.opacity_reset_interval == 0:
                 logger.info("reset opacity")
-                state = D.reset_opacity(state)
+                with mctx():
+                    state = D.reset_opacity(state)
 
             # stream-train budget audit: densification grows the emission
             # count; bump the slot budget (one re-jit, off the hot path)

@@ -221,3 +221,55 @@ def test_band_sharded_render_matches_single_device():
             bg, mesh, tiers=tiers, budget=budget)
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_training_loop_on_mesh(tmp_path):
+    """The training CLI path (train/loop.py `training`) on a data2 x gauss2
+    mesh via the runtime knobs: the 4-stage curriculum with densification
+    runs end-to-end and the returned params still carry the gauss-axis row
+    sharding (nothing silently gathered to one device)."""
+    from langsplat4d.config import Config
+    from langsplat4d.train.loop import training
+    from tests.scene_fixture import make_nerfies_scene
+
+    scene = make_nerfies_scene(str(tmp_path / "nerfies"), n_imgs=6, hw=64,
+                               n_points=100)
+    cfg = Config()
+    cfg.model.source_path = scene
+    cfg.model.model_path = str(tmp_path / "model")
+    cfg.model.language_features_name = "language_features"
+    cfg.model.feature_level = 1
+    cfg.optim.coarse_base_iterations = 6
+    cfg.optim.coarse_lang_iterations = 2
+    cfg.optim.fine_base_iterations = 6
+    cfg.optim.fine_lang_iterations = 2
+    cfg.optim.densify_from_iter = 2
+    cfg.optim.densification_interval = 3
+    cfg.optim.pruning_from_iter = 4
+    cfg.optim.pruning_interval = 3
+    cfg.optim.min_points_for_prune = 10
+    cfg.optim.opacity_reset_interval = 10000
+    cfg.optim.max_points = 200
+    cfg.optim.batch_size = 2          # divides data axis -> sharded batches
+    cfg.runtime.capacity_granule = 256
+    cfg.runtime.tile_capacity = 256
+    cfg.runtime.data_parallel = 2
+    cfg.runtime.gaussian_shards = 2
+    cfg.extras.save_iterations = []
+    cfg.extras.checkpoint_iterations = []
+    cfg.extras.test_iterations = []
+    cfg.hidden.kplanes_config = {
+        "grid_dimensions": 2, "input_coordinate_dim": 4,
+        "output_coordinate_dim": 4, "resolution": [8, 8, 8, 4]}
+    cfg.hidden.multires = [1]
+    cfg.hidden.net_width = 16
+    cfg.hidden.posebase_pe = 2
+    cfg.hidden.no_dlang = 0
+
+    state = training(cfg)
+    assert int(state.num_active) >= 100
+    assert np.isfinite(np.asarray(
+        state.params["xyz"][: int(state.num_active)])).all()
+    spec = tuple(state.params["xyz"].sharding.spec)
+    assert spec and spec[0] == "gauss", spec
