@@ -43,7 +43,7 @@ def render_tiles_sharded(
     opacities: jnp.ndarray,      # [N, 1]
     scales: jnp.ndarray,         # [N, 3]
     rotations: jnp.ndarray,      # [N, 4]
-    colors: jnp.ndarray,         # [N, 3]
+    colors: jnp.ndarray,         # [N, 3] (ignored when shs given)
     features: jnp.ndarray,       # [N, L]
     active: jnp.ndarray,         # [N] bool
     bg: jnp.ndarray,             # [3]
@@ -53,6 +53,7 @@ def render_tiles_sharded(
     tiers: Tuple[Tuple[int, int], ...],
     budget: int,
     ellipse_cull: bool = True,
+    shs: jnp.ndarray | None = None,   # [N, K, 3] SH coeffs (shard-local eval)
 ) -> jnp.ndarray:
     """-> [c_out, H, W] image, sharded along H (tile-row bands); c_out is
     the composite's channel stack (rgb + lang + padding + accum-alpha,
@@ -76,10 +77,20 @@ def render_tiles_sharded(
             f"image_height to a multiple of {d * ts}")
     band_rows = tiles_y // d
 
+    use_shs = shs is not None
+    color_in = shs if use_shs else colors   # both shard their leading dim
+
     def shard_fn(cam_in, xyz, op, sc, rot, cols, feats, act, bg_in):
-        # 1. shard-local preprocess over this chip's Gaussian rows
-        prep = preprocess(settings, cam_in, xyz, jnp.zeros_like(xyz[:, :2]),
-                          op, sc, rot, None, colors_precomp=cols, active=act)
+        # 1. shard-local preprocess over this chip's Gaussian rows (SH
+        # evaluation is per-Gaussian, so it stays shard-local too)
+        if use_shs:
+            prep = preprocess(settings, cam_in, xyz,
+                              jnp.zeros_like(xyz[:, :2]), op, sc, rot, cols,
+                              None, active=act)
+        else:
+            prep = preprocess(settings, cam_in, xyz,
+                              jnp.zeros_like(xyz[:, :2]), op, sc, rot, None,
+                              colors_precomp=cols, active=act)
         # 2. all-gather the small per-Gaussian attributes (one ICI hop);
         #    tiled=True concatenates along the row axis
         gather = lambda x: jax.lax.all_gather(x, axis, tiled=True)
@@ -118,6 +129,55 @@ def render_tiles_sharded(
                   P(axis), P()),
         out_specs=P(None, axis, None),
         check_vma=False)
-    img = fn(cam, means3d, opacities, scales, rotations, colors, features,
+    img = fn(cam, means3d, opacities, scales, rotations, color_in, features,
              active, bg)
     return img[:, : settings.image_height, :]
+
+
+def render_frame_banded(
+    settings,
+    dcfg,
+    stage: str,
+    cam,
+    time: jnp.ndarray,
+    gs,
+    deform_params,
+    aabb: jnp.ndarray,
+    bg: jnp.ndarray,
+    mesh,
+    *,
+    tiers: Tuple[Tuple[int, int], ...],
+    budget: int,
+    axis: str = GAUSS_AXIS,
+    nonormalized: bool = False,
+    grid_spatial=None,
+    ellipse_cull: bool = True,
+):
+    """Full multi-chip frame: deformation under jit (per-Gaussian — XLA
+    keeps it shard-local given gauss-sharded state), then the tile-band
+    build + composite. The CLI entry behind `runtime.gaussian_shards > 1`
+    in render.py (render/driver.py).
+
+    Returns the render dict subset the driver consumes:
+    {render [3,H,W], language_feature_image [L,H,W], depth [1,H,W]}.
+    """
+    from langsplat4d.render.pipeline import prepare_attributes
+
+    (means3d, scales_act, rotations_act, opacity_act, shs, lang,
+     _coff) = prepare_attributes(
+        dcfg, stage, time, gs, deform_params, aabb,
+        nonormalized=nonormalized, grid_spatial=grid_spatial)
+    feats = lang if settings.include_feature else (
+        jnp.zeros((gs.capacity, 0), means3d.dtype))
+    img = render_tiles_sharded(
+        settings, cam, means3d, opacity_act, scales_act, rotations_act,
+        jnp.zeros((gs.capacity, 3), means3d.dtype), feats,
+        gs.active_mask(), bg, mesh, axis=axis, tiers=tiers, budget=budget,
+        ellipse_cull=ellipse_cull, shs=shs)
+    c_lang = feats.shape[1]
+    return {
+        "render": img[:3],
+        "language_feature_image": (img[3:3 + c_lang]
+                                   if settings.include_feature else None),
+        "depth": img[3 + c_lang:4 + c_lang],
+    }

@@ -50,7 +50,7 @@ def _write_images(images: List[np.ndarray], path: str) -> None:
 
 
 def _make_render_one(settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
-                     grid_spatial, mode):
+                     grid_spatial, mode, band_cfg=None):
     """Jitted single-frame + chunked multi-frame render closures (rebuilt
     when tiers are retuned).
 
@@ -59,13 +59,30 @@ def _make_render_one(settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
     axon tunnel, so per-frame dispatching caps the FPS line at ~33 even
     with zero device time; lax.map amortizes it B-fold while keeping
     per-frame device semantics (sequential scan, no batch dim in the
-    rasterizer)."""
-    def body(camp, t):
-        out = render(settings, dcfg, load_stage, camp, t, gs, deform, aabb, bg,
-                     nonormalized=cfg.runtime.nonormalized,
-                     grid_spatial=grid_spatial)
-        key = "render" if mode == "rgb" else "language_feature_image"
-        return out[key]
+    rasterizer).
+
+    `band_cfg` = {mesh, tiers, budget}: route frames through the tile-band
+    multi-chip renderer (parallel/render.py) instead of the single-chip
+    pipeline — gs/grid_spatial arrive gauss-row-sharded from render_set."""
+    key = "render" if mode == "rgb" else "language_feature_image"
+
+    if band_cfg is not None:
+        from langsplat4d.parallel.render import render_frame_banded
+
+        def body(camp, t):
+            out = render_frame_banded(
+                settings, dcfg, load_stage, camp, t, gs, deform, aabb, bg,
+                band_cfg["mesh"], tiers=band_cfg["tiers"],
+                budget=band_cfg["budget"],
+                nonormalized=cfg.runtime.nonormalized,
+                grid_spatial=grid_spatial)
+            return out[key]
+    else:
+        def body(camp, t):
+            out = render(settings, dcfg, load_stage, camp, t, gs, deform,
+                         aabb, bg, nonormalized=cfg.runtime.nonormalized,
+                         grid_spatial=grid_spatial)
+            return out[key]
 
     @jax.jit
     def render_chunk(camps, ts):               # stacked [B] pytree / [B]
@@ -213,6 +230,83 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
                     "tiles); raise stream_tiers for exact rendering.")
         except Exception as e:  # diagnostics must never break rendering
             logger.warning(f"stream tier autotune skipped: {e}")
+
+    # ---- tile-band multi-chip rendering (runtime.gaussian_shards > 1) ----
+    # Each device narrow-builds + composites its own band of tile rows after
+    # ONE all-gather of the per-Gaussian attributes (parallel/render.py);
+    # falls back to single-chip with a warning when the preconditions
+    # (devices, divisible tile rows) don't hold.
+    shards = cfg.runtime.gaussian_shards
+    if shards > 1:
+        try:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from langsplat4d.core.transforms import safe_normalize
+            from langsplat4d.parallel.mesh import GAUSS_AXIS, make_mesh
+            from langsplat4d.render.raster import preprocess
+            from langsplat4d.render.stream import (_narrow_sorted_pairs,
+                                                   autotune_tiers)
+            if (jax.default_backend() != "tpu"
+                    and os.environ.get("LS4D_FORCE_BAND", "0") != "1"):
+                raise ValueError(
+                    "tile-band rendering needs the TPU backend (its pallas "
+                    "composite; set LS4D_FORCE_BAND=1 under interpret mode)")
+            if len(jax.devices()) < shards:
+                raise ValueError(
+                    f"gaussian_shards={shards} but only "
+                    f"{len(jax.devices())} devices visible")
+            if settings.tiles_y % shards:
+                raise ValueError(
+                    f"tiles_y={settings.tiles_y} not divisible by "
+                    f"gaussian_shards={shards}")
+            mesh = make_mesh(shards, data=1, gauss=shards)
+            prep = preprocess(
+                settings, views[0].camera_params(), gs.xyz,
+                jnp.zeros((gs.capacity, 2)), jax.nn.sigmoid(gs.opacity),
+                jnp.exp(gs.scaling), safe_normalize(gs.rotation), None,
+                colors_precomp=jnp.zeros((gs.capacity, 3)),
+                active=gs.active_mask())
+            rmin = np.asarray(prep["rect_min"])
+            rmax = np.asarray(prep["rect_max"])
+            vism = np.asarray(prep["visible"])
+            spans = np.maximum((rmax[:, 0] - rmin[:, 0])[vism],
+                               (rmax[:, 1] - rmin[:, 1])[vism])
+            tiers = autotune_tiers(spans)
+            # EXACT per-band demand (the band sorts are independent, so the
+            # budget is sized by the worst band, not total/D)
+            band_rows = settings.tiles_y // shards
+            ids = jnp.arange(gs.capacity, dtype=jnp.int32)
+            count_band = jax.jit(lambda p, ty0: _narrow_sorted_pairs(
+                settings, p, ids, tiers=tiers,
+                ellipse_cull=settings.stream_ellipse_cull,
+                tile_band=(ty0, band_rows))[2])
+            n_band = max(
+                int(count_band(prep, jnp.asarray(b * band_rows, jnp.int32)))
+                for b in range(shards))
+            budget = max(8192, -(-int(n_band * 1.3) // 8192) * 8192)
+            # row-shard the per-Gaussian state (+ the spatial-plane cache)
+            # so deformation/preprocess stay shard-local
+            row = NamedSharding(mesh, P(GAUSS_AXIS))
+
+            def place_rows(x):
+                if (hasattr(x, "ndim") and x.ndim >= 1
+                        and x.shape[0] == gs.capacity):
+                    return jax.device_put(x, row)
+                return x
+
+            gs = jax.tree.map(place_rows, gs)
+            if grid_spatial is not None:
+                grid_spatial = jax.tree.map(place_rows, grid_spatial)
+            band_cfg = dict(mesh=mesh, tiers=tiers, budget=budget)
+            render_one, render_chunk = _make_render_one(
+                settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
+                grid_spatial, mode, band_cfg=band_cfg)
+            logger.info(
+                f"tile-band multi-chip render: {shards} bands of "
+                f"{band_rows} tile rows, tiers={tiers}, per-band budget "
+                f"{budget} (worst-band demand {n_band})")
+        except Exception as e:
+            logger.warning(f"tile-band multi-chip render disabled: {e}")
 
     # warm-up: compile outside the timed region (the CUDA reference has no
     # compile step; the FPS line measures steady-state throughput). Frames

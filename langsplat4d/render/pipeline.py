@@ -28,33 +28,26 @@ STAGES = ("coarse-base", "coarse-lang", "fine-base", "fine-lang",
           "fine-lang-discrete")
 
 
-def render(
-    settings: RasterSettings,
+def prepare_attributes(
     dcfg: DeformConfig,
     stage: str,
-    cam: CameraParams,
-    time: jnp.ndarray,              # [] scalar in [0,1]
+    time: jnp.ndarray,
     gs: GaussianState,
     deform_params: Dict[str, Any],
-    aabb: jnp.ndarray,              # [2,3]
-    bg: jnp.ndarray,                # [3]
-    means2d_dummy: Optional[jnp.ndarray] = None,
-    scaling_modifier: float = 1.0,
-    override_color: Optional[jnp.ndarray] = None,
+    aabb: jnp.ndarray,
+    *,
     nonormalized: bool = False,
     grid_spatial=None,
-) -> Dict[str, jnp.ndarray]:
-    """One differentiable render. `settings`, `dcfg`, `stage` must be static.
-
-    Returns the reference's render dict: render, language_feature_image,
-    viewspace_points(grad tap), visibility_filter, radii, depth, coff.
-    """
-    assert stage in STAGES, stage
+    scaling_modifier: float = 1.0,
+):
+    """Stage-aware deformation + activations, shared by the single-chip
+    render below and the tile-band multi-chip render
+    (parallel/render.render_frame_banded). Per-Gaussian in, per-Gaussian
+    out — under jit with gauss-sharded inputs XLA keeps the whole stage
+    shard-local. Returns (means3d, scales_act, rotations_act, opacity_act,
+    shs, lang, coff)."""
     include_feature = "base" not in stage
     n = gs.capacity
-    if means2d_dummy is None:
-        means2d_dummy = jnp.zeros((n, 2), jnp.float32)
-
     means3d = gs.xyz
     opacity = gs.opacity
     scales = gs.scaling
@@ -94,6 +87,41 @@ def render(
         scales_act = scales_act * scaling_modifier
     rotations_act = safe_normalize(rotations)
     opacity_act = jax.nn.sigmoid(opacity)
+    return means3d, scales_act, rotations_act, opacity_act, shs, lang, coff
+
+
+def render(
+    settings: RasterSettings,
+    dcfg: DeformConfig,
+    stage: str,
+    cam: CameraParams,
+    time: jnp.ndarray,              # [] scalar in [0,1]
+    gs: GaussianState,
+    deform_params: Dict[str, Any],
+    aabb: jnp.ndarray,              # [2,3]
+    bg: jnp.ndarray,                # [3]
+    means2d_dummy: Optional[jnp.ndarray] = None,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    nonormalized: bool = False,
+    grid_spatial=None,
+) -> Dict[str, jnp.ndarray]:
+    """One differentiable render. `settings`, `dcfg`, `stage` must be static.
+
+    Returns the reference's render dict: render, language_feature_image,
+    viewspace_points(grad tap), visibility_filter, radii, depth, coff.
+    """
+    assert stage in STAGES, stage
+    include_feature = "base" not in stage
+    n = gs.capacity
+    if means2d_dummy is None:
+        means2d_dummy = jnp.zeros((n, 2), jnp.float32)
+
+    (means3d, scales_act, rotations_act, opacity_act, shs, lang,
+     coff) = prepare_attributes(
+        dcfg, stage, time, gs, deform_params, aabb,
+        nonormalized=nonormalized, grid_spatial=grid_spatial,
+        scaling_modifier=scaling_modifier)
 
     active = gs.active_mask()
     rendered, lang_img, radii, depth = rasterize(
