@@ -202,10 +202,12 @@ def _bench_train_step():
         tiers = autotune_tiers(spans)
         n_est = int(jax.jit(lambda p: narrow_valid_count(
             settings, p, tiers=tiers))(prep))
-        budget = -(-int(n_est * 1.3) // 8192) * 8192
+        chunk = int(os.getenv("LS4D_STREAM_TRAIN_CHUNK", "128"))
+        gran = max(8192, chunk)
+        budget = -(-int(n_est * 1.3) // gran) * gran
         settings = dataclasses.replace(
             settings, stream_train=True, stream_tiers=tiers,
-            stream_budget=budget)
+            stream_budget=budget, stream_train_chunk=chunk)
         print(f"stream-train arm: tiers={tiers} budget={budget} "
               f"(demand {n_est})", file=sys.stderr)
 

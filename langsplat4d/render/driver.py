@@ -121,7 +121,10 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         tile_capacity=cfg.runtime.tile_capacity,
         # stream duplicate+sort binning + ragged-segment Pallas compositing
         # (TPU only; CPU keeps the golden-tested jnp path)
-        stream_binning=jax.default_backend() == "tpu")
+        stream_binning=jax.default_backend() == "tpu",
+        # A/B knob: Morton row-table order in the narrow build (locality of
+        # the budgeted gather vs one argsort + inverse scatter of build cost)
+        stream_morton=os.environ.get("LS4D_STREAM_MORTON", "1") != "0")
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     gs = state.gaussians()
