@@ -186,14 +186,22 @@ class FineSampler:
 
 class BatchLoader:
     """Shuffled batch iterator over camera indices (DataLoader stand-in,
-    train.py:143-151)."""
+    train.py:143-151).
+
+    Lazy datasets decode images on indexing; `workers > 1` fetches a
+    batch's cameras concurrently (PIL decompress and np IO release the
+    GIL), the thread-based analogue of the reference DataLoader's
+    `num_workers` — stacked with the producer-side prefetch
+    (data/prefetch.py), decode parallelism covers batch sizes the single
+    producer thread can't keep ahead of."""
 
     def __init__(self, dataset: CameraDataset, batch_size: int,
-                 sampler=None, seed: int = 0):
+                 sampler=None, seed: int = 0, workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
         self.rng = random.Random(seed)
+        self.workers = max(1, int(workers))
 
     def __iter__(self):
         if self.sampler is not None:
@@ -201,6 +209,17 @@ class BatchLoader:
         else:
             idxs = list(range(len(self.dataset)))
             self.rng.shuffle(idxs)
-        for i in range(0, len(idxs), self.batch_size):
-            batch = idxs[i:i + self.batch_size]
-            yield [self.dataset[j] for j in batch]
+        pool = None
+        if self.workers > 1 and self.batch_size > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.workers)
+        try:
+            for i in range(0, len(idxs), self.batch_size):
+                batch = idxs[i:i + self.batch_size]
+                if pool is not None:
+                    yield list(pool.map(self.dataset.__getitem__, batch))
+                else:
+                    yield [self.dataset[j] for j in batch]
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)

@@ -54,11 +54,22 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
     lf_path = cfg.model.lf_path
     gt_langs, masks = [], []
     lang_dim = cfg.runtime.language_feature_hiddendim
-    for c in cams:
-        f, m = (None, None)
+
+    def fetch_lang(c):
         if lf_path is not None and os.path.isdir(lf_path):
-            f, m = c.get_language_feature(lf_path, cfg.model.feature_level,
+            return c.get_language_feature(lf_path, cfg.model.feature_level,
                                           split, scene.dataset_type)
+        return None, None
+
+    if len(cams) > 1 and lf_path is not None and os.path.isdir(lf_path):
+        # per-camera GT-feature loads are independent np IO — overlap them
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(4, len(cams))) as ex:
+            fetched = list(ex.map(fetch_lang, cams))
+    else:
+        fetched = [fetch_lang(c) for c in cams]
+
+    for c, (f, m) in zip(cams, fetched):
         if f is None:
             # zeros turn the lang loss into a silent no-op — warn once so a
             # wrong --language_features_name can't quietly train zero fields
