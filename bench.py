@@ -79,21 +79,42 @@ def main():
     class _SceneShim:
         dataset_type = "dynerf"
 
-    fps = render_set(cfg, state, dcfg, _SceneShim(), "video", 0, views,
-                     mode="lang", load_stage="fine-lang",
-                     noimage=True, nonpy=True, novideo=True)
+    # the tunnel can wedge for tens of minutes after an abnormally-killed
+    # client (PERF.md): a hard deadline turns "bench hangs forever" into an
+    # honest zero-FPS record with an error note
+    import threading
+    deadline_s = int(os.getenv("BENCH_RENDER_DEADLINE_S", "1500"))
+    done = {}
 
+    def _run():
+        done["fps"] = render_set(
+            cfg, state, dcfg, _SceneShim(), "video", 0, views, mode="lang",
+            load_stage="fine-lang", noimage=True, nonpy=True, novideo=True)
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+    th.join(deadline_s)
     result = {
         "metric": "render_fps_neu3d_scale_cli",
-        "value": round(fps, 3),
+        "value": 0.0,
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": 0.0,
     }
+    if "fps" in done:
+        fps = done["fps"]
+        result["value"] = round(fps, 3)
+        result["vs_baseline"] = round(fps / 30.0, 3)
+    else:
+        result["error"] = (f"render did not finish within {deadline_s}s "
+                           "(device tunnel unavailable/wedged)")
     if "--render-only" not in sys.argv:
         train_it_per_s = _bench_train_subprocess()
         if train_it_per_s is not None:
             result["train_it_per_s_hypernerf_scale"] = round(train_it_per_s, 2)
     print(json.dumps(result))
+    if "fps" not in done:
+        os._exit(3)   # the worker thread may be wedged in the runtime; do
+        # not wait on interpreter teardown
 
 
 def _bench_train_subprocess(timeout_s: int = 600):
