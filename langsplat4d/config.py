@@ -186,6 +186,11 @@ class RuntimeConfig:
                                  # re-audited as densification grows points
     watchdog_execv: bool = True  # NaN/explosion watchdog re-execs the process
                                  # (train.py:341-351); False raises instead
+    orbax_ckpt: bool = field(    # async sharded checkpoints (ckpt_orbax.py)
+        default_factory=lambda: _env_flag("LS4D_ORBAX_CKPT"))
+                                 # instead of the torch-interop pickle at
+                                 # checkpoint_iterations: no host gather, the
+                                 # write overlaps training (multi-chip scale)
 
 
 @dataclass

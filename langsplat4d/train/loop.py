@@ -628,7 +628,16 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                     step_cfg = step_cfg._replace(settings=new_settings)
 
         if (iteration in ex.checkpoint_iterations) and "fine" in stage:
-            save_checkpoint(state, iteration, stage, cfg.model.model_path)
+            if cfg.runtime.orbax_ckpt:
+                from langsplat4d.train import ckpt_orbax
+                path = os.path.join(cfg.model.model_path,
+                                    f"orbax_{stage}_{iteration}")
+                ckpt_orbax.save_async(path, state)
+                logger.info(f"[ITER {iteration}] async orbax checkpoint "
+                            f"started -> {path}")
+            else:
+                save_checkpoint(state, iteration, stage,
+                                cfg.model.model_path)
 
     telemetry.close()
     return state
@@ -766,7 +775,11 @@ def training(cfg: Config) -> TrainState:
     if ex.resume_from_final_stage == 1:
         # fine-lang-discrete resume path (train.py:436-441), phase B of the
         # two-phase video-feature schedule (scripts/train_eval.sh:20-33).
-        state, payload = load_checkpoint(ex.start_checkpoint)
+        from langsplat4d.train import ckpt_orbax
+        if ckpt_orbax.is_orbax_checkpoint(ex.start_checkpoint):
+            state = ckpt_orbax.restore_auto(ex.start_checkpoint)
+        else:
+            state, payload = load_checkpoint(ex.start_checkpoint)
         dcfg = DeformConfig.from_config(cfg.hidden, cfg.runtime,
                                         max_sh_degree=cfg.model.sh_degree)
         state = prepare_discrete_stage(cfg, state, dcfg,

@@ -371,3 +371,51 @@ def test_render_driver_band_branch(tmp_path, monkeypatch):
     pngs = glob.glob(str(tmp_path / "model" / "video_lang" / "ours_0" /
                          "renders" / "*.png"))
     assert len(pngs) == 2
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path):
+    """Async orbax save of a gauss-sharded TrainState restores bit-exact
+    values AND the recorded shardings (no replicated detour)."""
+    from langsplat4d.parallel.mesh import make_mesh, shard_state
+    from langsplat4d.train import ckpt_orbax
+
+    rng = np.random.default_rng(9)
+    state, _ = tiny_state(rng, n=40, cap=64)
+    mesh = make_mesh(8, data=4, gauss=2)
+    sharded = shard_state(state, mesh)
+
+    path = str(tmp_path / "ckpt")
+    ckpt_orbax.save_async(path, sharded)
+    ckpt_orbax.wait_until_finished()
+
+    restored = ckpt_orbax.restore(path, state, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(restored.params["xyz"]),
+                                  np.asarray(state.params["xyz"]))
+    np.testing.assert_array_equal(np.asarray(restored.opt.m["scaling"]),
+                                  np.asarray(state.opt.m["scaling"]))
+    assert int(restored.num_active) == int(state.num_active)
+    assert restored.active_sh_degree == state.active_sh_degree
+    spec = tuple(restored.params["xyz"].sharding.spec)
+    assert spec and spec[0] == "gauss", spec
+
+
+def test_orbax_restore_auto(tmp_path):
+    """Template-free restore (the training resume path): structure, values
+    and static fields come back from the checkpoint + sidecar alone."""
+    from langsplat4d.train import ckpt_orbax
+
+    rng = np.random.default_rng(4)
+    state, _ = tiny_state(rng, n=24, cap=32)
+    state = state.replace(active_sh_degree=2)
+    path = str(tmp_path / "ckpt_auto")
+    ckpt_orbax.save_async(path, state)
+    ckpt_orbax.wait_until_finished()
+
+    restored = ckpt_orbax.restore_auto(path)
+    assert restored.active_sh_degree == 2
+    assert int(restored.num_active) == int(state.num_active)
+    np.testing.assert_array_equal(np.asarray(restored.params["rotation"]),
+                                  np.asarray(state.params["rotation"]))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.params["deform"])[0]),
+        np.asarray(jax.tree.leaves(state.params["deform"])[0]))
