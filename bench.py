@@ -160,15 +160,12 @@ def _bench_train_step():
     steps = int(os.getenv("BENCH_TRAIN_STEPS", 30))
 
     rng = np.random.default_rng(1)
-    pts = rng.uniform(-1.2, 1.2, size=(n, 3)).astype(np.float32)
-    cols = rng.uniform(size=(n, 3)).astype(np.float32)
-    cap = statelib.round_capacity(n)
-    gs = statelib.create_from_pcd(pts, cols, max_sh_degree=3,
-                                  lang_dim=lang_dim, capacity=cap)
-    gs = gs.replace(
-        scaling=jnp.full((cap, 3), np.log(0.01), jnp.float32),
-        language_feature=jnp.asarray(
-            rng.normal(size=(cap, lang_dim)).astype(np.float32)))
+    # trained-checkpoint-realistic distribution (clustered positions,
+    # heavy-tailed log-normal scales) — same realism standard as the render
+    # bench; the old constant-scale cloud understated tile-capacity pressure
+    from langsplat4d.utils.synth import realistic_gaussians
+    gs = realistic_gaussians(n, lang_dim=lang_dim, seed=1)
+    cap = gs.capacity
     dcfg = DeformConfig(
         lang_dim=lang_dim, no_dlang=False, kplanes_out_dim=16,
         kplanes_resolution=(64, 64, 64, 150), multires=(1, 2), net_width=128,
