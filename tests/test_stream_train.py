@@ -170,3 +170,23 @@ class TestStreamTrainComposite:
 def dataclasses_replace(settings, **kw):
     import dataclasses
     return dataclasses.replace(settings, **kw)
+
+
+class TestStreamTrainCorners:
+    def test_base_stage_no_features(self, rng, _interpret):
+        """include_feature=False (base stages): c_feat = rgb+depth only —
+        the stream-train primal must still match the tile-list path."""
+        cam, settings, arrs = _scene(rng, include_feature=False)
+        means, scales, quats, opac, colors, lang = arrs
+        n = means.shape[0]
+        bg = jnp.asarray([0.2, 0.1, 0.3])
+        st = dataclasses_replace(
+            settings, stream_train=True, stream_tiers=TIERS,
+            stream_budget=4096, stream_train_chunk=32)
+        ref = R.rasterize(settings, cam, means, jnp.zeros((n, 2)), opac,
+                          scales, quats, None, colors, jnp.zeros((n, 0)), bg)
+        out = R.rasterize(st, cam, means, jnp.zeros((n, 2)), opac,
+                          scales, quats, None, colors, jnp.zeros((n, 0)), bg)
+        for a, b, what in zip(out, ref, ("rgb", "lang", "radii", "depth")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5, err_msg=what)
