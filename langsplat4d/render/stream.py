@@ -443,7 +443,13 @@ def build_stream_train(
       starts     [T+1]  i32  aligned segment starts (multiples of `chunk`)
       chunk_tile [B_al/chunk] i32  owning tile per chunk (pallas prefetch)
       n_valid    []     i32  total emitted valid slots (overflow telemetry:
-                             slots beyond `budget` are dropped)
+                             slots beyond `budget` are dropped — and because
+                             keys sort by (tile, rank), truncation removes
+                             the HIGHEST-numbered tiles wholesale, not a
+                             sprinkle across the image. The loop's audit
+                             (train/loop.py _tune_stream_train) re-sizes at
+                             densify cadence precisely so this never fires
+                             silently between audits.)
     where B_al = budget + num_tiles * chunk (static).
     """
     prep = jax.lax.stop_gradient(prep)
