@@ -57,13 +57,22 @@ class SceneInfo:
     maxtime: float
 
 
-def load_image(path: str, resize=None) -> np.ndarray:
-    """[3,H,W] float32 in [0,1] (PILtoTorch equivalent,
-    utils/general_utils.py:21-33)."""
+def load_image(path: str, resize=None, filt: str = "bicubic") -> np.ndarray:
+    """[C,H,W] float32 in [0,1] (PILtoTorch equivalent,
+    utils/general_utils.py:21-33).
+
+    Decode (+ antialiased resize) runs in the native codec
+    (native/imgcodec.cpp) when available — GIL-free, so the batch-level
+    thread pool actually overlaps; PIL is the fallback for exotic formats.
+    """
+    from langsplat4d import native
+    arr = native.load_image_chw(path, resize=resize, filt=filt)
+    if arr is not None:
+        return arr
     from PIL import Image
     img = Image.open(path)
     if resize is not None:
-        img = img.resize(resize)
+        img = img.resize(resize, getattr(Image, filt.upper(), Image.BICUBIC))
     arr = np.asarray(img).astype(np.float32)
     if arr.max() > 1:
         arr = arr / 255.0
@@ -549,11 +558,8 @@ class Neu3DDataset:
         return len(self.image_paths)
 
     def __getitem__(self, index) -> HostCamera:
-        from PIL import Image
-        img = Image.open(self.image_paths[index]).resize(
-            self.img_wh, Image.LANCZOS)
-        image = np.transpose(
-            np.asarray(img).astype(np.float32)[..., :3] / 255.0, (2, 0, 1))
+        image = load_image(self.image_paths[index], resize=self.img_wh,
+                           filt="lanczos")[:3]
         R, T = self.image_poses[index]
         fovx = focal2fov(self.focal[0], image.shape[2])
         fovy = focal2fov(self.focal[0], image.shape[1])

@@ -41,8 +41,65 @@ def _load():
     return _LIB
 
 
+_IMG = None
+_IMG_TRIED = False
+
+
+def _load_img():
+    global _IMG, _IMG_TRIED
+    if _IMG_TRIED:
+        return _IMG
+    _IMG_TRIED = True
+    try:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        import sys
+        sys.path.insert(0, os.path.join(here, "native"))
+        from build import build_imgcodec  # type: ignore
+        lib = ctypes.CDLL(build_imgcodec())
+        ci = ctypes.c_int
+        cip = ctypes.POINTER(ci)
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.img_header.argtypes = [ctypes.c_char_p, cip, cip, cip]
+        lib.img_header.restype = ci
+        lib.img_load_chw_f32.argtypes = [ctypes.c_char_p, ci, ci, ci, fp]
+        lib.img_load_chw_f32.restype = ci
+        _IMG = lib
+    except Exception:
+        _IMG = None
+    return _IMG
+
+
 def available() -> bool:
     return _load() is not None
+
+
+def imgcodec_available() -> bool:
+    return _load_img() is not None
+
+
+_FILTERS = {"box": 0, "bilinear": 1, "bicubic": 2, "lanczos": 3}
+
+
+def load_image_chw(path: str, resize=None, filt: str = "bicubic"):
+    """Native PNG/JPEG decode (+ PIL-style antialiased resize) straight to
+    [C,H,W] float32 in [0,1], GIL-free (native/imgcodec.cpp).
+
+    `resize` is (width, height) like PIL. Returns None when the codec
+    library or the file's format isn't supported — callers fall back to PIL.
+    """
+    lib = _load_img()
+    if lib is None:
+        return None
+    w, h, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    p = os.fspath(path).encode()
+    if lib.img_header(p, ctypes.byref(w), ctypes.byref(h), ctypes.byref(c)):
+        return None
+    ow, oh = resize if resize is not None else (w.value, h.value)
+    out = np.empty((c.value, int(oh), int(ow)), np.float32)
+    rc = lib.img_load_chw_f32(
+        p, int(ow), int(oh), _FILTERS[filt],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return None if rc else out
 
 
 def gather_language_features(seg: np.ndarray, feats: np.ndarray
