@@ -177,6 +177,16 @@ class RuntimeConfig:
     gaussian_shards: int = 1     # Gaussian-axis sharding for preprocess
     prefetch_depth: int = 2      # train batches built ahead on a host thread
                                  # (0 = synchronous, the reference's behavior)
+    compact_batch: bool = True   # H2D wire diet: uint8 images + raw
+                                 # (seg-id, feature-table) language GT,
+                                 # decoded/gathered on device (step.py
+                                 # materialize_batch). Lossless; False ships
+                                 # pre-gathered f32 maps like the reference.
+    gt_cache_mb: int = 4096      # device-resident GT cache budget
+                                 # (data/gt_cache.py): each camera's batch
+                                 # arrays upload once and stay in HBM across
+                                 # its ~iters/n_images revisits. 0 = stream
+                                 # every iteration like the reference.
     stream_train: bool = field(  # stream-binned training composite
         default_factory=lambda: _env_flag("LS4D_STREAM_TRAIN"))
                                  # (render/stream_vjp.py): chunk-aligned

@@ -83,6 +83,31 @@ class HostCamera:
         (nerfies: colmap_id*4+1 train / *4+3 test; dynerf: cam_name-frame).
         Returns (feature [C,H,W], mask [1,H,W]) float32/bool or (None, None).
         """
+        seg, feature_map = self.get_language_feature_compact(
+            language_feature_dir, feature_level, split, data_type)
+        if seg is None:
+            return None, None
+        h, w = self.height, self.width
+        # multithreaded C++ gather when the native lib is built
+        from langsplat4d import native
+        point_feature, mask = native.gather_language_features(
+            seg.astype(np.int32), feature_map)
+        assert point_feature.shape[1:] == (h, w), (point_feature.shape, h, w)
+        return point_feature, mask
+
+    def get_language_feature_compact(
+            self, language_feature_dir: str, feature_level: int,
+            split: str = "train", data_type: str = "nerfies",
+            ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+        """The raw on-disk GT language representation: per-pixel segment ids
+        at the chosen SAM level + the per-segment feature table.
+
+        Returns (seg [H,W] int, features [S,C] float32) or (None, None).
+        This is the compact H2D wire format — the per-pixel gather happens
+        on DEVICE (train/step.py materialize_batch), so ~1 MB crosses the
+        host->device link instead of the ~8 MB gathered f32 map + mask that
+        get_language_feature produces.
+        """
         if language_feature_dir is None:
             return None, None
         if data_type == "nerfies":
@@ -106,16 +131,13 @@ class HostCamera:
 
         seg_map = np.load(name + "_s.npy")          # [4,H,W] int
         feature_map = np.load(name + "_f.npy")      # [S, C]
-
-        h, w = self.height, self.width
         level = {0: 0, 1: 1, 2: 2, 3: 3}[feature_level]
-        seg = seg_map[level].astype(np.int32)        # [H,W]
-        # multithreaded C++ gather when the native lib is built
-        from langsplat4d import native
-        point_feature, mask = native.gather_language_features(seg,
-                                                              feature_map)
-        assert point_feature.shape[1:] == (h, w), (point_feature.shape, h, w)
-        return point_feature, mask
+        seg = seg_map[level]                         # [H,W]
+        if feature_map.shape[0] < np.iinfo(np.int16).max:
+            seg = seg.astype(np.int16)               # halve the wire bytes
+        else:
+            seg = seg.astype(np.int32)
+        return seg, np.ascontiguousarray(feature_map, dtype=np.float32)
 
 
 @dataclass

@@ -94,11 +94,6 @@ def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
     """Shard the camera batch over the 'data' axis (batch size must be a
     multiple of the data-axis size)."""
     bspec = NamedSharding(mesh, P(DATA_AXIS))
-    put = lambda x: jax.device_put(x, bspec) if x is not None else None
-    return Batch(
-        cams=jax.tree.map(put, batch.cams),
-        times=put(batch.times),
-        gt_images=put(batch.gt_images),
-        gt_lang=put(batch.gt_lang),
-        lang_mask=put(batch.lang_mask),
-    )
+    # every Batch leaf (cams, times, gt images/lang/mask, compact seg/tables)
+    # leads with the camera-batch axis — one spec shards them all
+    return jax.tree.map(lambda x: jax.device_put(x, bspec), batch)

@@ -44,48 +44,148 @@ def _watchdog_restart(cfg: Config, reason: str) -> None:
 
 
 def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
-                split: str = "train") -> Batch:
-    """Stack a list of host cameras into device Batch arrays."""
+                split: str = "train", need_lang: bool = True) -> Batch:
+    """Stack a list of host cameras into device Batch arrays.
+
+    With `runtime.compact_batch` (the default) the batch crosses the
+    host->device link in the compact wire format — uint8 images plus raw
+    (seg-id, feature-table) language GT, decoded/gathered on device by
+    `materialize_batch` — because H2D bandwidth over the device tunnel, not
+    host decode, bounds full-loop it/s (PERF.md). The uint8 quantization is
+    applied only when it is a lossless round-trip of the stacked f32 images
+    (always true for u8-decoded PNGs/JPEGs, the reference's only sources —
+    utils/general_utils.py PILtoTorch), so both formats feed the step
+    identical values.
+
+    With `runtime.gt_cache_mb > 0` (the default) each camera's GT arrays
+    stay RESIDENT on device after their first upload (data/gt_cache.py):
+    training revisits each camera ~total_iters/n_images times, so after the
+    first epoch the only per-iteration host work left is the device-side
+    stack of cached arrays. The reference re-uploads every iteration
+    (train.py:242-296).
+    """
+    compact = getattr(cfg.runtime, "compact_batch", True)
+    cache = None
+    cache_mb = getattr(cfg.runtime, "gt_cache_mb", 0)
+    if cache_mb > 0:
+        from langsplat4d.data.gt_cache import get_cache, image_fingerprint
+        cache = get_cache(cache_mb)
     cam_params = [c.camera_params() for c in cams]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_params)
     times = jnp.asarray([c.time for c in cams], jnp.float32)
-    gt_images = jnp.asarray(np.stack([c.image for c in cams]))
+
+    # ---- images: per-camera device arrays, cached across revisits ----
+    def encode_image(img):
+        # u8 when lossless, independent of the wire format — cache entries
+        # are shared between compact and full builds (and cost 4x less HBM)
+        q = np.rint(img * np.float32(255.0)).astype(np.uint8)
+        if np.array_equal(q.astype(np.float32) / np.float32(255.0), img):
+            return q
+        return np.asarray(img, np.float32)
+
+    imgs_dev = []
+    for c in cams:
+        if cache is not None:
+            key = ("img", c.image_name, split, image_fingerprint(c.image))
+            hit = cache.peek(key)
+            dev = (hit if hit is not None
+                   else cache.put(key, (encode_image(c.image),)))[0]
+        else:
+            dev = jnp.asarray(encode_image(c.image))
+        imgs_dev.append(dev)
+    if any(d.dtype == jnp.uint8 for d in imgs_dev) and (
+            not compact or any(d.dtype != jnp.uint8 for d in imgs_dev)):
+        # full format, or mixed encodings across the batch: decode u8 on
+        # device (exact — the same true division materialize_batch performs)
+        imgs_dev = [d.astype(jnp.float32) / np.float32(255.0)
+                    if d.dtype == jnp.uint8 else d for d in imgs_dev]
+    gt_images = jnp.stack(imgs_dev)
 
     lf_path = cfg.model.lf_path
-    gt_langs, masks = [], []
     lang_dim = cfg.runtime.language_feature_hiddendim
+    have_lang = (need_lang and lf_path is not None
+                 and os.path.isdir(lf_path))
+    if not need_lang:
+        # base stages never read the language GT (train.py:283-285): skip
+        # the .npy loads and the H2D transfer entirely
+        return Batch(cams=stacked, times=times, gt_images=gt_images,
+                     gt_lang=None, lang_mask=None)
 
-    def fetch_lang(c):
-        if lf_path is not None and os.path.isdir(lf_path):
-            return c.get_language_feature(lf_path, cfg.model.feature_level,
-                                          split, scene.dataset_type)
-        return None, None
+    def warn_missing(c):
+        # zeros turn the lang loss into a silent no-op — warn once so a
+        # wrong --language_features_name can't quietly train zero fields
+        if not getattr(build_batch, "_warned_missing_lang", False):
+            build_batch._warned_missing_lang = True
+            logger.warning(
+                f"no GT language features found under {lf_path!r} "
+                f"(camera {c.image_name}); lang losses will see zeros.")
 
-    if len(cams) > 1 and lf_path is not None and os.path.isdir(lf_path):
+    def build_lang_host(c):
+        """Host-side (seg, table) in compact mode / (feature, mask) else."""
+        if compact:
+            s, t = (c.get_language_feature_compact(
+                        lf_path, cfg.model.feature_level, split,
+                        scene.dataset_type)
+                    if have_lang else (None, None))
+            if s is None:
+                warn_missing(c)
+                return (np.full((c.height, c.width), -1, np.int16),
+                        np.zeros((64, lang_dim), np.float32))
+            # granule-round the table per camera so the cache entry's shape
+            # is stable and jit sees a small set of [B,S,L] shapes
+            s_pad = -(-t.shape[0] // 64) * 64
+            return s, np.pad(t, ((0, s_pad - t.shape[0]), (0, 0)))
+        f, m = (c.get_language_feature(lf_path, cfg.model.feature_level,
+                                       split, scene.dataset_type)
+                if have_lang else (None, None))
+        if f is None:
+            warn_missing(c)
+            return (np.zeros((lang_dim, c.height, c.width), np.float32),
+                    np.zeros((1, c.height, c.width), bool))
+        return f, m
+
+    lang_key = ("lang", split, cfg.model.feature_level, compact)
+    dev_list: List = [None] * len(cams)
+    miss = []
+    for i, c in enumerate(cams):
+        if cache is not None:
+            hit = cache.peek(lang_key + (c.image_name,))
+            if hit is not None:
+                dev_list[i] = hit
+                continue
+        miss.append(i)
+    if len(miss) > 1:
         # per-camera GT-feature loads are independent np IO — overlap them
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=min(4, len(cams))) as ex:
-            fetched = list(ex.map(fetch_lang, cams))
+        with ThreadPoolExecutor(max_workers=min(4, len(miss))) as ex:
+            built = list(ex.map(lambda i: build_lang_host(cams[i]), miss))
     else:
-        fetched = [fetch_lang(c) for c in cams]
+        built = [build_lang_host(cams[i]) for i in miss]
+    for i, arrs in zip(miss, built):
+        if cache is not None:
+            dev_list[i] = cache.put(lang_key + (cams[i].image_name,), arrs)
+        else:
+            dev_list[i] = tuple(jnp.asarray(a) for a in arrs)
 
-    for c, (f, m) in zip(cams, fetched):
-        if f is None:
-            # zeros turn the lang loss into a silent no-op — warn once so a
-            # wrong --language_features_name can't quietly train zero fields
-            if not getattr(build_batch, "_warned_missing_lang", False):
-                build_batch._warned_missing_lang = True
-                logger.warning(
-                    f"no GT language features found under {lf_path!r} "
-                    f"(camera {c.image_name}); lang losses will see zeros.")
-            f = np.zeros((lang_dim, c.height, c.width), np.float32)
-            m = np.zeros((1, c.height, c.width), bool)
-        gt_langs.append(f)
-        masks.append(m)
+    if compact:
+        tables = [d[1] for d in dev_list]
+        s_max = max(t.shape[0] for t in tables)
+        tables = [t if t.shape[0] == s_max
+                  else jnp.pad(t, ((0, s_max - t.shape[0]), (0, 0)))
+                  for t in tables]
+        segs = [d[0] for d in dev_list]
+        if any(s.dtype != jnp.int16 for s in segs):
+            segs = [s.astype(jnp.int32) for s in segs]  # >32k-segment frames
+        return Batch(
+            cams=stacked, times=times, gt_images=gt_images,
+            gt_lang=None, lang_mask=None,
+            gt_seg=jnp.stack(segs),
+            gt_tables=jnp.stack(tables))
+
     return Batch(
         cams=stacked, times=times, gt_images=gt_images,
-        gt_lang=jnp.asarray(np.stack(gt_langs)),
-        lang_mask=jnp.asarray(np.stack(masks).astype(np.float32)))
+        gt_lang=jnp.stack([d[0] for d in dev_list]),
+        lang_mask=jnp.stack([d[1].astype(jnp.float32) for d in dev_list]))
 
 
 def init_state_from_scene(cfg: Config, scene: Scene, seed: int = 0,
@@ -451,7 +551,8 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                     if not viewpoint_stack:
                         viewpoint_stack.extend(temp_list)
                     cams.append(train_cams[idx])
-            yield cams, build_batch(cams, cfg, scene, split)
+            yield cams, build_batch(cams, cfg, scene, split,
+                                    need_lang="base" not in stage)
 
     import contextlib
 
@@ -526,16 +627,22 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
             # eval forward at log cadence — the jitted train step does not
             # materialize images to host.
             if cfg.model.model_path:
-                from langsplat4d.train.step import eval_step
+                from langsplat4d.train.step import (eval_step,
+                                                    materialize_batch)
                 out = eval_step(step_cfg, state, cams[0].camera_params(),
                                 jnp.asarray(cams[0].time), bg,
                                 state.active_sh_degree)
+                full = materialize_batch(batch)  # eager; debug cadence only
+                gt_lang0 = (full.gt_lang[0] if full.gt_lang is not None
+                            else jnp.zeros(
+                                (cfg.runtime.language_feature_hiddendim,)
+                                + full.gt_images.shape[2:]))
                 lang = out.get("language_feature_image")
                 if lang is None or lang.shape[0] == 0:
-                    lang = jnp.zeros_like(batch.gt_lang[0])
+                    lang = jnp.zeros_like(gt_lang0)
                 _debug_image_dump(cfg.model.model_path, stage, iteration,
-                                  out["render"], batch.gt_images[0],
-                                  lang, batch.gt_lang[0])
+                                  out["render"], full.gt_images[0],
+                                  lang, gt_lang0)
 
         timer.pause()
         if iteration in ex.test_iterations:

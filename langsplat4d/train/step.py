@@ -51,12 +51,50 @@ class StepConfig(NamedTuple):
 
 
 class Batch(NamedTuple):
-    """A batch of B cameras, stacked on the leading axis."""
+    """A batch of B cameras, stacked on the leading axis.
+
+    Two wire formats:
+    - full: `gt_images` f32, `gt_lang`/`lang_mask` pre-gathered f32 maps
+      (~14 MB/camera H2D at HyperNeRF scale);
+    - compact: `gt_images` uint8 and the GT language channel as raw
+      (`gt_seg` per-pixel segment ids, `gt_tables` per-segment features —
+      the on-disk `*_s.npy`/`*_f.npy` representation, scene/cameras.py:92-118)
+      with the per-pixel gather + u8->f32 decode done ON DEVICE by
+      `materialize_batch` (~2.5 MB/camera H2D). The device tunnel's H2D
+      bandwidth, not PNG decode, dominates the full-loop iteration time
+      (PERF.md), so the wire diet is the host-pipeline win.
+    """
     cams: CameraParams                   # arrays [B, ...]
     times: jnp.ndarray                   # [B]
-    gt_images: jnp.ndarray               # [B, 3, H, W]
-    gt_lang: Optional[jnp.ndarray]       # [B, L, H, W] or zeros
-    lang_mask: Optional[jnp.ndarray]     # [B, 1, H, W] or ones
+    gt_images: jnp.ndarray               # [B, 3, H, W] f32 [0,1] — or uint8
+    gt_lang: Optional[jnp.ndarray]       # [B, L, H, W], zeros, or None
+    lang_mask: Optional[jnp.ndarray]     # [B, 1, H, W], ones, or None
+    gt_seg: Optional[jnp.ndarray] = None     # [B, H, W] int; -1 = invalid
+    gt_tables: Optional[jnp.ndarray] = None  # [B, S, L] per-segment features
+
+
+def materialize_batch(batch: Batch) -> Batch:
+    """Decode the compact wire format on device (jit-traceable).
+
+    uint8 images -> f32/255 (exact inverse of the u8 quantization in
+    build_batch); (gt_seg, gt_tables) -> per-pixel feature map + validity
+    mask, the device-side equivalent of the host gather in
+    Camera.get_language_feature (scene/cameras.py:105-118).
+    """
+    gt = batch.gt_images
+    if gt.dtype == jnp.uint8:
+        # true division (not *1/255): bit-identical to the host readers'
+        # np.float32 k/255 values, so compact and full batches match exactly
+        gt = gt.astype(jnp.float32) / jnp.float32(255.0)
+    gt_lang, mask = batch.gt_lang, batch.lang_mask
+    if batch.gt_seg is not None:
+        seg = batch.gt_seg.astype(jnp.int32)                     # [B, H, W]
+        mask = (seg >= 0)[:, None].astype(jnp.float32)           # [B,1,H,W]
+        gathered = jax.vmap(lambda t, s: t[jnp.clip(s, 0)])(
+            batch.gt_tables, seg)                                # [B,H,W,L]
+        gt_lang = jnp.moveaxis(gathered, -1, 1) * mask           # [B,L,H,W]
+    return batch._replace(gt_images=gt, gt_lang=gt_lang, lang_mask=mask,
+                          gt_seg=None, gt_tables=None)
 
 
 def _render_batch(cfg: StepConfig, params, num_active, aabb, batch: Batch,
@@ -100,6 +138,7 @@ def _render_batch(cfg: StepConfig, params, num_active, aabb, batch: Batch,
 
 def _loss_fn(cfg: StepConfig, params, num_active, aabb, batch: Batch, bg,
              dummies, active_sh_degree: int):
+    batch = materialize_batch(batch)
     images, lang_imgs, radii, coff = _render_batch(
         cfg, params, num_active, aabb, batch, bg, dummies, active_sh_degree)
 
