@@ -123,8 +123,11 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         # (TPU only; CPU keeps the golden-tested jnp path)
         stream_binning=jax.default_backend() == "tpu",
         # A/B knob: Morton row-table order in the narrow build (locality of
-        # the budgeted gather vs one argsort + inverse scatter of build cost)
-        stream_morton=os.environ.get("LS4D_STREAM_MORTON", "1") != "0")
+        # the budgeted gather vs one argsort + inverse scatter of build
+        # cost). Measured on the trained-checkpoint-realistic Neu3D-scale
+        # scene: 27.0 FPS without vs 24.4 with — the reorder costs more than
+        # the gather locality buys at 200k Gaussians, so OFF is the default.
+        stream_morton=os.environ.get("LS4D_STREAM_MORTON", "0") == "1")
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     gs = state.gaussians()

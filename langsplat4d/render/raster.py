@@ -127,7 +127,10 @@ class RasterSettings:
     stream_ellipse_cull: bool = True
     # Morton-reorder the narrow build's row table (locality of the budgeted
     # gather vs one argsort + inverse scatter + [N,16] gather of build cost).
-    stream_morton: bool = True
+    # A/B on the trained-checkpoint-realistic Neu3D-scale scene measured the
+    # reorder as a net LOSS (24.4 FPS with vs 27.0 without), so off by
+    # default; LS4D_STREAM_MORTON=1 re-enables it per run.
+    stream_morton: bool = False
     # Stream-binned TRAINING path (render/stream_vjp.py): differentiable
     # chunk-aligned stream composite with the fused analytic fwd/bwd pallas
     # pair — replaces bin_tiles + the [T*K]-row gather/scatter of the

@@ -248,7 +248,7 @@ def build_stream_narrow(
         ty0, band_rows = tile_band
     num_tiles = band_rows * tiles_x            # band-local tile count
 
-    use_morton = getattr(settings, "stream_morton", True)
+    use_morton = getattr(settings, "stream_morton", False)
     morder, mpos = _morton_table_order(settings, prep, use_morton)
 
     depth = prep["depth"]
@@ -461,7 +461,7 @@ def build_stream_train(
     b_al = budget + num_tiles * g              # worst-case aligned capacity
     n_chunks = b_al // g
 
-    use_morton = getattr(settings, "stream_morton", True)
+    use_morton = getattr(settings, "stream_morton", False)
     morder, mpos = _morton_table_order(settings, prep, use_morton)
     k_sorted, s_sorted, n_valid = _narrow_sorted_pairs(
         settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull)

@@ -22,8 +22,8 @@ run train_stream 1200 BENCH_STREAM_TRAIN=1 python bench.py --train-only
 run train_stream_g256 1200 BENCH_STREAM_TRAIN=1 LS4D_STREAM_TRAIN_CHUNK=256 \
     python bench.py --train-only
 
-# render knob A/B: Morton table order on/off
-run render_nomorton 900 LS4D_STREAM_MORTON=0 python bench.py --render-only
+# render knob A/B: Morton table order (default OFF after the r3 A/B)
+run render_morton 900 LS4D_STREAM_MORTON=1 python bench.py --render-only
 
 # full-loop training WITH host IO (VERDICT r2 #3 target: >= 0.9x step-only)
 run train_e2e 1800 python scripts/bench_train_e2e.py --iters 240
