@@ -172,6 +172,15 @@ class RuntimeConfig:
     # TPU execution
     tile_size: int = 16          # rasterizer pixel tile edge
     tile_capacity: int = 1024    # max Gaussians composited per tile
+    render_tile_size: int = field(  # pixel tile edge for the TPU stream
+        default_factory=lambda: _env("LS4D_RENDER_TILE", 32, int))
+                                 # render path only (render/driver.py): 32px
+                                 # tiles emit ~2x fewer (Gaussian, tile)
+                                 # slots than 16px on trained-checkpoint
+                                 # span distributions, shrinking the sort,
+                                 # the budget gather AND the chunk walk
+                                 # (PERF.md round 4: 34.3 -> 24.2 ms/frame).
+                                 # Exactness is tile-size independent.
     capacity_granule: int = 8192  # Gaussian-count padding granule
     data_parallel: int = 1       # camera-batch data parallelism (mesh axis)
     gaussian_shards: int = 1     # Gaussian-axis sharding for preprocess

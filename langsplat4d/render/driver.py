@@ -112,16 +112,18 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         os.makedirs(p, exist_ok=True)
 
     first = views[0]
+    on_tpu_stream = jax.default_backend() == "tpu"
     settings = RasterSettings(
         image_height=first.height, image_width=first.width,
         sh_degree=state.active_sh_degree,
         lang_dim=dcfg.lang_dim,
         include_feature="base" not in load_stage,
-        tile_size=cfg.runtime.tile_size,
+        tile_size=(cfg.runtime.render_tile_size if on_tpu_stream
+                   else cfg.runtime.tile_size),
         tile_capacity=cfg.runtime.tile_capacity,
         # stream duplicate+sort binning + ragged-segment Pallas compositing
         # (TPU only; CPU keeps the golden-tested jnp path)
-        stream_binning=jax.default_backend() == "tpu",
+        stream_binning=on_tpu_stream,
         # A/B knob: Morton row-table order in the narrow build (locality of
         # the budgeted gather vs one argsort + inverse scatter of build
         # cost). Measured on the trained-checkpoint-realistic Neu3D-scale

@@ -121,6 +121,11 @@ class RasterSettings:
     # (driver sizes it from the audited pair count; 0 = disabled).
     stream_narrow_sort: bool = False
     stream_budget: int = 0
+    # Single-column key sort in the narrow build (default): the key's rank
+    # bits index a rank-ordered row table, so no src payload rides the sort
+    # and the budget gather's indices ascend within every tile segment
+    # (locality). Off -> legacy (key, src) 2-column sort.
+    stream_single_key: bool = True
     # Invalidate emitted slots whose tile lies wholly outside the
     # alpha >= 1/255 ellipse (exactness-preserving: the compositor applies
     # the same cutoff per pixel).

@@ -248,7 +248,11 @@ def build_stream_narrow(
         ty0, band_rows = tile_band
     num_tiles = band_rows * tiles_x            # band-local tile count
 
-    use_morton = getattr(settings, "stream_morton", False)
+    # single-key mode (default): the sort carries NO src column — the key's
+    # rank bits index a rank-ordered table directly. Morton table order only
+    # applies to the legacy 2-column mode (the permutations are exclusive).
+    single_key = getattr(settings, "stream_single_key", True)
+    use_morton = getattr(settings, "stream_morton", False) and not single_key
     morder, mpos = _morton_table_order(settings, prep, use_morton)
 
     depth = prep["depth"]
@@ -268,14 +272,24 @@ def build_stream_narrow(
     ]
     col_list += [zero] * (PW - len(col_list))
     packed = jnp.stack(col_list, axis=1)
-    table = packed[morder] if use_morton else packed   # [N, 16]
 
-    k_sorted, s_sorted, n_valid = _narrow_sorted_pairs(
+    k_sorted, s_sorted, n_valid, dorder = _narrow_sorted_pairs(
         settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull,
-        tile_band=tile_band)
+        tile_band=tile_band, carry_src=not single_key)
     budget = min(int(budget), int(k_sorted.shape[0]))
     k_b = k_sorted[:budget]
-    s_b = s_sorted[:budget]
+    if single_key:
+        # rank-ordered table: src = rank bits of the key. One N-row
+        # permutation replaces carrying src through the M-slot sort, and
+        # the budget gather's indices ASCEND within every tile segment
+        # (ranks are sorted within a tile), which is the locality the
+        # Morton experiment paid an extra argsort for. Sentinel keys index
+        # past N and clamp — excluded by `starts` anyway.
+        table = packed[dorder]                 # [N, 16]
+        s_b = (k_b & jnp.uint32(RANK_CAP - 1)).astype(jnp.int32)
+    else:
+        table = packed[morder] if use_morton else packed   # [N, 16]
+        s_b = s_sorted[:budget]
 
     rows = table[s_b].T                        # [16, budget]
     bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS)
@@ -305,12 +319,20 @@ def _morton_table_order(settings, prep, use_morton: bool):
 
 
 def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
-                         tile_band=None):
-    """Shared narrow-sort emission: -> (k_sorted [M] u32, s_sorted [M] i32,
-    n_valid). `src_ids` [N] i32 is the per-Gaussian payload carried through
-    the sort (Morton position for the render build, original id for the
-    training build). Keys pack (band-local tile) << RANK_BITS | depth_rank;
-    invalid slots get KEY_SENTINEL and sort to the end."""
+                         tile_band=None, carry_src=True):
+    """Shared narrow-sort emission: -> (k_sorted [M] u32, s_sorted [M] i32
+    or None, n_valid, dorder [N] i32). `src_ids` [N] i32 is the
+    per-Gaussian payload carried through the sort (Morton position for the
+    render build, original id for the training build). Keys pack
+    (band-local tile) << RANK_BITS | depth_rank; invalid slots get
+    KEY_SENTINEL and sort to the end.
+
+    `carry_src=False` drops the src payload column entirely: the key's low
+    RANK_BITS are a bijection onto Gaussians (rank -> dorder[rank]), so a
+    SINGLE-COLUMN u32 sort suffices and the caller recovers the source row
+    as `k & (RANK_CAP-1)` against a rank-ordered table (`packed[dorder]`).
+    Halves the sort payload (PERF.md: sort cost is linear in columns) and
+    skips the src emission/broadcast entirely."""
     n = prep["depth"].shape[0]
     tiles_x = settings.tiles_x
     ts = settings.tile_size
@@ -374,8 +396,9 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
         key = (txs + ty_loc * tiles_x).astype(jnp.uint32) << RANK_BITS
         key = key | d_rank.astype(jnp.uint32)[None, :]
         key_parts.append(jnp.where(ok, key, KEY_SENTINEL).reshape(-1))
-        src_parts.append(jnp.broadcast_to(
-            d_src.astype(jnp.int32)[None, :], ok.shape).reshape(-1))
+        if carry_src:
+            src_parts.append(jnp.broadcast_to(
+                d_src.astype(jnp.int32)[None, :], ok.shape).reshape(-1))
 
     fields_full = (
         rmin[:, 0].astype(jnp.float32), rmin[:, 1].astype(jnp.float32),
@@ -404,15 +427,18 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
         prev_span = span_i
 
     key_all = jnp.concatenate(key_parts)
-    src_all = jnp.concatenate(src_parts)
     n_valid = jnp.sum(key_all != KEY_SENTINEL).astype(jnp.int32)
 
     # is_stable=False: every valid key is unique (a Gaussian emits each tile
     # at most once across the nested rungs), and sentinel slots land past the
     # last tile's searchsorted bound — the stable sort measures 2-4x slower.
+    if not carry_src:
+        k_sorted = jax.lax.sort(key_all, is_stable=False)
+        return k_sorted, None, n_valid, dorder
+    src_all = jnp.concatenate(src_parts)
     k_sorted, s_sorted = jax.lax.sort((key_all, src_all), num_keys=1,
                                       is_stable=False)
-    return k_sorted, s_sorted, n_valid
+    return k_sorted, s_sorted, n_valid, dorder
 
 
 def build_stream_train(
@@ -463,7 +489,7 @@ def build_stream_train(
 
     use_morton = getattr(settings, "stream_morton", False)
     morder, mpos = _morton_table_order(settings, prep, use_morton)
-    k_sorted, s_sorted, n_valid = _narrow_sorted_pairs(
+    k_sorted, s_sorted, n_valid, _dorder = _narrow_sorted_pairs(
         settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull)
     budget = min(budget, int(k_sorted.shape[0]))
     k_b = k_sorted[:budget]

@@ -86,8 +86,9 @@ def main():
     settings = RasterSettings(
         image_height=H, image_width=W, sh_degree=3, lang_dim=lang_dim,
         include_feature=True, stream_binning=True,
-        composite_chunk=int(os.getenv("PROF_G", "128")),
-        pallas_tile_block=int(os.getenv("PROF_TB", "8")),
+        tile_size=int(os.getenv("PROF_TS", "16")),
+        composite_chunk=int(os.getenv("PROF_G", "128").split(",")[0]),
+        pallas_tile_block=int(os.getenv("PROF_TB", "8").split(",")[0]),
         stream_morton=os.environ.get("LS4D_STREAM_MORTON", "0") == "1")
 
     cap = gs.capacity
@@ -146,20 +147,24 @@ def main():
           f"emitted_slots={emitted}", flush=True)
 
     use_morton = settings.stream_morton
-    morder, mpos = _morton_table_order(settings, prep, use_morton)
+    single_key = (os.getenv("PROF_SINGLE_KEY", "1") == "1")
+    settings = dataclasses.replace(settings, stream_single_key=single_key)
+    morder, mpos = _morton_table_order(settings, prep,
+                                       use_morton and not single_key)
 
     @jax.jit
     def f_pairs(depth):
         p = dict(prep, depth=depth)
         return _narrow_sorted_pairs(
             settings, p, mpos, tiers=tiers,
-            ellipse_cull=settings.stream_ellipse_cull)
+            ellipse_cull=settings.stream_ellipse_cull,
+            carry_src=not single_key)
 
     if "pairs" in which:
         timeit("narrow pairs+sort", f_pairs,
                lambda i: (prep["depth"] + i * 1e-6,))
 
-    k_sorted, s_sorted, n_valid = f_pairs(prep["depth"])
+    k_sorted, s_sorted, n_valid, dorder = f_pairs(prep["depth"])
     _ = int(n_valid)
 
     PWn = 16
@@ -175,16 +180,29 @@ def main():
     ]
     col_list += [zero] * (PWn - len(col_list))
     packed = jnp.stack(col_list, axis=1)
-    table = packed[morder] if use_morton else packed
+    from langsplat4d.render.stream import RANK_CAP
+    if single_key:
+        @jax.jit
+        def f_gather(k_sorted, dorder):
+            table = packed[dorder]
+            s_b = (k_sorted[:budget] & jnp.uint32(RANK_CAP - 1)).astype(
+                jnp.int32)
+            return table[s_b].T
 
-    @jax.jit
-    def f_gather(s_sorted):
-        s_b = s_sorted[:budget]
-        return table[s_b].T
+        if "gather" in which:
+            timeit("rank perm + gather", f_gather,
+                   lambda i: (k_sorted, dorder + 0 * i))
+    else:
+        table = packed[morder] if use_morton else packed
 
-    if "gather" in which:
-        timeit("row gather (budget)", f_gather,
-               lambda i: (s_sorted + 0 * i,))
+        @jax.jit
+        def f_gather(s_sorted):
+            s_b = s_sorted[:budget]
+            return table[s_b].T
+
+        if "gather" in which:
+            timeit("row gather (budget)", f_gather,
+                   lambda i: (s_sorted + 0 * i,))
 
     @jax.jit
     def f_rows(depth):
@@ -199,17 +217,21 @@ def main():
     _ = float(rows[0, 0])
     bg = jnp.zeros(3)
 
-    @jax.jit
-    def f_comp(rows, starts):
-        return composite_stream_pallas(
-            rows, starts, bg, tiles_x=settings.tiles_x,
-            num_tiles=settings.num_tiles, tile_size=settings.tile_size,
-            tb=settings.pallas_tile_block,
-            g=settings.composite_chunk, hard_cutoffs=True)
+    def make_comp(g, tb):
+        @jax.jit
+        def f_comp(rows, starts):
+            return composite_stream_pallas(
+                rows, starts, bg, tiles_x=settings.tiles_x,
+                num_tiles=settings.num_tiles, tile_size=settings.tile_size,
+                tb=tb, g=g, hard_cutoffs=True)
+        return f_comp
 
     if "composite" in which:
-        timeit("stream composite", f_comp,
-               lambda i: (rows + i * 1e-6, starts))
+        # PROF_G / PROF_TB accept comma-separated sweep lists
+        for g in [int(x) for x in os.getenv("PROF_G", "128").split(",")]:
+            for tb in [int(x) for x in os.getenv("PROF_TB", "8").split(",")]:
+                timeit(f"stream composite g={g} tb={tb}", make_comp(g, tb),
+                       lambda i: (rows + i * 1e-6, starts))
 
     if "frame" in which:
         from langsplat4d.render.pipeline import render

@@ -96,6 +96,7 @@ OptimizationParams = dict(
     pruning_from_iter=99999,
     opacity_reset_interval=99999, max_points=20000, batch_size=1,
 )
+{os.getenv("QUALITY_EXTRA_CFG", "")}
 """)
     trained_marker = os.path.join(model, "point_cloud",
                                   f"fine-lang_iteration_{its['fl']}")
