@@ -71,11 +71,10 @@ def render_tiles_sharded(
     d = mesh.shape[axis]
     ts = settings.tile_size
     tiles_y, tiles_x = settings.tiles_y, settings.tiles_x
-    if tiles_y % d != 0:
-        raise ValueError(
-            f"tiles_y={tiles_y} must divide over the {axis} axis ({d}); pad "
-            f"image_height to a multiple of {d * ts}")
-    band_rows = tiles_y // d
+    # uneven split: bands cover ceil(tiles_y/d) rows each; trailing rows of
+    # the last band lie past the image, receive no slots (the emission's
+    # rect test bounds tys by the real tile rows) and are cropped below
+    band_rows = -(-tiles_y // d)
 
     use_shs = shs is not None
     color_in = shs if use_shs else colors   # both shard their leading dim
@@ -134,6 +133,171 @@ def render_tiles_sharded(
     return img[:, : settings.image_height, :]
 
 
+def shard_tiers(tiers, d: int, margin: float = 2.0):
+    """Per-shard span tiers for the scatter build: each chip emits from its
+    own N/D Gaussian rows, so rung capacities shrink ~1/D (margin absorbs
+    shard skew in the span distribution)."""
+    return tuple((span, max(128, int(-(-count * margin // d))))
+                 for span, count in tiers)
+
+
+def render_tiles_scatter(
+    settings,
+    cam,
+    means3d: jnp.ndarray,        # [N, 3] sharded on `axis`
+    opacities: jnp.ndarray,      # [N, 1]
+    scales: jnp.ndarray,         # [N, 3]
+    rotations: jnp.ndarray,      # [N, 4]
+    colors: jnp.ndarray,         # [N, 3] (ignored when shs given)
+    features: jnp.ndarray,       # [N, L]
+    active: jnp.ndarray,         # [N] bool
+    bg: jnp.ndarray,             # [3]
+    mesh,
+    *,
+    axis: str = GAUSS_AXIS,
+    tiers: Tuple[Tuple[int, int], ...],
+    bucket: int,
+    ellipse_cull: bool = True,
+    shs: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gaussian-axis-sharded stream build with per-chip tile ownership
+    (PERF.md roadmap #4; VERDICT r3 missing #4): -> ([c_out, H, W] image
+    sharded along H, dropped-slot count [] i32 — 0 means exact).
+
+    Unlike `render_tiles_sharded` (which all-gathers EVERY per-Gaussian
+    attribute — O(N) bytes/chip — and then has each chip emit over the full
+    N), here every stage before the exchange scales 1/D:
+
+    1. shard-local preprocess over this chip's N/D Gaussian rows;
+    2. one all-gather of (depth, visible) ONLY (~N x 5 B — 1 MB at 200k,
+       vs ~13 MB for the full attribute gather) to compute GLOBALLY
+       consistent depth ranks, so keys from different chips merge into the
+       same (tile, depth-rank) order the single-chip build produces;
+    3. shard-local emission + sort of the local shard's (Gaussian, tile)
+       pairs over ALL tiles — M/D slots;
+    4. ONE all-to-all: the local sorted stream is contiguous per
+       destination band, so each band owner receives its (key, packed-row)
+       slots — O(slots/D x 68 B) per chip, the only place slot data
+       crosses ICI;
+    5. owner-side merge (one small (key, idx) sort of the received
+       buckets) + band composite.
+
+    `bucket` is the per-(src, dst) slot capacity: slots beyond it within
+    one (chip, band) pair are dropped and counted in the returned audit
+    (size from `narrow_valid_count` / D^2 with skew margin; the returned
+    count makes truncation observable, mirroring `stream_overflow`).
+
+    Requires N <= 2^18 (global ranks must fit the key's RANK_BITS)."""
+    from langsplat4d.ops.tile_composite import composite_stream_pallas
+    from langsplat4d.render.raster import preprocess
+    from langsplat4d.render.stream import (KEY_SENTINEL, RANK_BITS,
+                                           _narrow_sorted_pairs,
+                                           pack_attribute_table)
+
+    d = mesh.shape[axis]
+    ts = settings.tile_size
+    tiles_y, tiles_x = settings.tiles_y, settings.tiles_x
+    band_rows = -(-tiles_y // d)
+    band_tiles = band_rows * tiles_x
+    n_total = means3d.shape[0]
+    if n_total > (1 << RANK_BITS):
+        raise ValueError(
+            f"scatter build needs N<=2^{RANK_BITS} for global ranks "
+            f"(got {n_total})")
+    if d * band_tiles >= (1 << 14):
+        raise ValueError(
+            f"scatter build needs padded tiles d*ceil(T_y/d)*T_x < 2^14 "
+            f"(got {d * band_tiles}; u32 key packing)")
+
+    use_shs = shs is not None
+    color_in = shs if use_shs else colors
+
+    def shard_fn(cam_in, xyz, op, sc, rot, cols, feats, act, bg_in):
+        n_loc = xyz.shape[0]
+        # 1. shard-local preprocess
+        if use_shs:
+            prep = preprocess(settings, cam_in, xyz,
+                              jnp.zeros_like(xyz[:, :2]), op, sc, rot, cols,
+                              None, active=act)
+        else:
+            prep = preprocess(settings, cam_in, xyz,
+                              jnp.zeros_like(xyz[:, :2]), op, sc, rot, None,
+                              colors_precomp=cols, active=act)
+        # 2. global depth ranks from a depth+visibility-only all-gather
+        depth_all = jax.lax.all_gather(prep["depth"], axis, tiled=True)
+        vis_all = jax.lax.all_gather(prep["visible"], axis, tiled=True)
+        big = jnp.where(vis_all, depth_all, jnp.inf)
+        dorder = jnp.argsort(big, stable=False)
+        rank_full = jnp.zeros(n_total, jnp.uint32).at[dorder].set(
+            jnp.arange(n_total, dtype=jnp.uint32))
+        c = jax.lax.axis_index(axis)
+        rank_loc = jax.lax.dynamic_slice(
+            rank_full, (c.astype(jnp.int32) * n_loc,), (n_loc,))
+        # 3. shard-local emission + sort over ALL tiles (global tile ids,
+        # global ranks): keys from different chips interleave correctly
+        k_sorted, s_sorted, _n_valid, _ = _narrow_sorted_pairs(
+            settings, prep, jnp.arange(n_loc, dtype=jnp.int32), tiers=tiers,
+            ellipse_cull=ellipse_cull, rank=rank_loc)
+        packed = pack_attribute_table(prep, feats)      # [n_loc, PW]
+        # 4. per-destination buckets: the sorted stream is contiguous per
+        # band, so dst j's slots are k_sorted[starts[j]:starts[j+1]]
+        bnds = (jnp.arange(d + 1, dtype=jnp.uint32)
+                * jnp.uint32(band_tiles)) << RANK_BITS
+        starts_dst = jnp.searchsorted(k_sorted, bnds).astype(jnp.int32)
+        off = jnp.arange(bucket, dtype=jnp.int32)
+        keys_out, rows_out, dropped = [], [], jnp.zeros((), jnp.int32)
+        for j in range(d):
+            kj = jax.lax.dynamic_slice(k_sorted, (starts_dst[j],), (bucket,))
+            sj = jax.lax.dynamic_slice(s_sorted, (starts_dst[j],), (bucket,))
+            seg = starts_dst[j + 1] - starts_dst[j]
+            ok = off < seg
+            keys_out.append(jnp.where(ok, kj, KEY_SENTINEL))
+            rows_out.append(packed[sj])                 # [bucket, PW]
+            dropped = dropped + jnp.maximum(seg - bucket, 0)
+        keys_out = jnp.stack(keys_out)                  # [d, bucket]
+        rows_out = jnp.stack(rows_out)                  # [d, bucket, PW]
+        # the ONE slot exchange: piece j -> chip j
+        keys_in = jax.lax.all_to_all(keys_out, axis, 0, 0)
+        rows_in = jax.lax.all_to_all(rows_out, axis, 0, 0)
+        # 5. owner-side merge: one (key, idx) sort of d*bucket received
+        # slots (sentinel padding sorts past the band's last bound)
+        kf = keys_in.reshape(-1)
+        m = kf.shape[0]
+        ksrt, idx = jax.lax.sort(
+            (kf, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
+            is_stable=False)
+        rows = rows_in.reshape(m, -1)[idx].T            # [PW, m]
+        t0 = (c.astype(jnp.uint32) * jnp.uint32(band_tiles))
+        my_bnds = (t0 + jnp.arange(band_tiles + 1,
+                                   dtype=jnp.uint32)) << RANK_BITS
+        # routing guarantees every non-sentinel key lies in this band, so
+        # starts[0] == 0 and the offsets index the rows buffer directly
+        starts = jnp.searchsorted(ksrt, my_bnds).astype(jnp.int32)
+        ty0 = c.astype(jnp.float32) * float(band_rows)
+        rows = rows.at[1].add(-(ty0 * ts))
+        out = composite_stream_pallas(
+            rows, starts, bg_in, tiles_x=tiles_x, num_tiles=band_tiles,
+            tile_size=ts, tb=settings.pallas_tile_block,
+            g=settings.composite_chunk, hard_cutoffs=settings.hard_cutoffs)
+        out = out[:band_tiles]
+        c_out = out.shape[1]
+        img = out.reshape(band_rows, tiles_x, c_out, ts, ts)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            c_out, band_rows * ts, tiles_x * ts)
+        return (img[:, :, : settings.image_width],
+                jax.lax.psum(dropped, axis))
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P()),
+        out_specs=(P(None, axis, None), P()),
+        check_vma=False)
+    img, dropped = fn(cam, means3d, opacities, scales, rotations, color_in,
+                      features, active, bg)
+    return img[:, : settings.image_height, :], dropped
+
+
 def render_frame_banded(
     settings,
     dcfg,
@@ -152,6 +316,7 @@ def render_frame_banded(
     nonormalized: bool = False,
     grid_spatial=None,
     ellipse_cull: bool = True,
+    exchange: str = "allgather",
 ):
     """Full multi-chip frame: deformation under jit (per-Gaussian — XLA
     keeps it shard-local given gauss-sharded state), then the tile-band
@@ -169,11 +334,21 @@ def render_frame_banded(
         nonormalized=nonormalized, grid_spatial=grid_spatial)
     feats = lang if settings.include_feature else (
         jnp.zeros((gs.capacity, 0), means3d.dtype))
-    img = render_tiles_sharded(
-        settings, cam, means3d, opacity_act, scales_act, rotations_act,
-        jnp.zeros((gs.capacity, 3), means3d.dtype), feats,
-        gs.active_mask(), bg, mesh, axis=axis, tiers=tiers, budget=budget,
-        ellipse_cull=ellipse_cull, shs=shs)
+    if exchange == "alltoall":
+        # per-chip tile ownership: `budget` is the per-(src, dst) bucket
+        d = mesh.shape[axis]
+        img, _dropped = render_tiles_scatter(
+            settings, cam, means3d, opacity_act, scales_act, rotations_act,
+            jnp.zeros((gs.capacity, 3), means3d.dtype), feats,
+            gs.active_mask(), bg, mesh, axis=axis,
+            tiers=shard_tiers(tiers, d), bucket=budget,
+            ellipse_cull=ellipse_cull, shs=shs)
+    else:
+        img = render_tiles_sharded(
+            settings, cam, means3d, opacity_act, scales_act, rotations_act,
+            jnp.zeros((gs.capacity, 3), means3d.dtype), feats,
+            gs.active_mask(), bg, mesh, axis=axis, tiers=tiers,
+            budget=budget, ellipse_cull=ellipse_cull, shs=shs)
     c_lang = feats.shape[1]
     return {
         "render": img[:3],

@@ -75,7 +75,8 @@ def _make_render_one(settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
                 band_cfg["mesh"], tiers=band_cfg["tiers"],
                 budget=band_cfg["budget"],
                 nonormalized=cfg.runtime.nonormalized,
-                grid_spatial=grid_spatial)
+                grid_spatial=grid_spatial,
+                exchange=band_cfg.get("exchange", "allgather"))
             return out[key]
     else:
         def body(camp, t):
@@ -240,10 +241,11 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
             logger.warning(f"stream tier autotune skipped: {e}")
 
     # ---- tile-band multi-chip rendering (runtime.gaussian_shards > 1) ----
-    # Each device narrow-builds + composites its own band of tile rows after
-    # ONE all-gather of the per-Gaussian attributes (parallel/render.py);
-    # falls back to single-chip with a warning when the preconditions
-    # (devices, divisible tile rows) don't hold.
+    # Each device narrow-builds + composites its own band of tile rows
+    # (uneven splits pad), after either ONE all-gather of the per-Gaussian
+    # attributes (default) or, with LS4D_BAND_EXCHANGE=alltoall, a
+    # shard-local emission + ONE slot all-to-all (parallel/render.py);
+    # falls back to single-chip with a warning when preconditions fail.
     shards = cfg.runtime.gaussian_shards
     if shards > 1:
         try:
@@ -263,10 +265,6 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
                 raise ValueError(
                     f"gaussian_shards={shards} but only "
                     f"{len(jax.devices())} devices visible")
-            if settings.tiles_y % shards:
-                raise ValueError(
-                    f"tiles_y={settings.tiles_y} not divisible by "
-                    f"gaussian_shards={shards}")
             mesh = make_mesh(shards, data=1, gauss=shards)
             prep = preprocess(
                 settings, views[0].camera_params(), gs.xyz,
@@ -281,8 +279,9 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
                                (rmax[:, 1] - rmin[:, 1])[vism])
             tiers = autotune_tiers(spans)
             # EXACT per-band demand (the band sorts are independent, so the
-            # budget is sized by the worst band, not total/D)
-            band_rows = settings.tiles_y // shards
+            # budget is sized by the worst band, not total/D); bands pad
+            # over uneven tile-row splits
+            band_rows = -(-settings.tiles_y // shards)
             ids = jnp.arange(gs.capacity, dtype=jnp.int32)
             count_band = jax.jit(lambda p, ty0: _narrow_sorted_pairs(
                 settings, p, ids, tiers=tiers,
@@ -292,6 +291,14 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
                 int(count_band(prep, jnp.asarray(b * band_rows, jnp.int32)))
                 for b in range(shards))
             budget = max(8192, -(-int(n_band * 1.3) // 8192) * 8192)
+            # exchange=alltoall: per-chip tile ownership + ONE slot
+            # all-to-all (parallel/render.py render_tiles_scatter); budget
+            # is then the per-(src, dst) bucket — worst-band demand split
+            # over src chips with a 2x shard-skew margin
+            exchange = os.environ.get("LS4D_BAND_EXCHANGE", "allgather")
+            if exchange == "alltoall":
+                budget = max(512,
+                             -(-int(n_band * 2.0) // (512 * shards)) * 512)
             # row-shard the per-Gaussian state (+ the spatial-plane cache)
             # so deformation/preprocess stay shard-local
             row = NamedSharding(mesh, P(GAUSS_AXIS))
@@ -305,13 +312,14 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
             gs = jax.tree.map(place_rows, gs)
             if grid_spatial is not None:
                 grid_spatial = jax.tree.map(place_rows, grid_spatial)
-            band_cfg = dict(mesh=mesh, tiers=tiers, budget=budget)
+            band_cfg = dict(mesh=mesh, tiers=tiers, budget=budget,
+                            exchange=exchange)
             render_one, render_chunk = _make_render_one(
                 settings, dcfg, load_stage, cfg, gs, deform, aabb, bg,
                 grid_spatial, mode, band_cfg=band_cfg)
             logger.info(
-                f"tile-band multi-chip render: {shards} bands of "
-                f"{band_rows} tile rows, tiers={tiers}, per-band budget "
+                f"tile-band multi-chip render ({exchange}): {shards} bands "
+                f"of {band_rows} tile rows, tiers={tiers}, budget "
                 f"{budget} (worst-band demand {n_band})")
         except Exception as e:
             logger.warning(f"tile-band multi-chip render disabled: {e}")

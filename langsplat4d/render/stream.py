@@ -255,23 +255,7 @@ def build_stream_narrow(
     use_morton = getattr(settings, "stream_morton", False) and not single_key
     morder, mpos = _morton_table_order(settings, prep, use_morton)
 
-    depth = prep["depth"]
-    ln_op = jnp.log(jnp.maximum(prep["opacity"], 1e-30))
-    L = features.shape[1]
-    zero = jnp.zeros((n,), jnp.float32)
-    # ONE stacked build: 14 separate .at[:, i].set column writes into the
-    # row-major [N, 16] table each cost a full stride-16 pass (~0.8 ms at
-    # N=200k measured — they dominated the emission stage in traces)
-    col_list = [
-        prep["point_image"][:, 0], prep["point_image"][:, 1],
-        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
-        ln_op, zero, zero,
-        prep["colors"][:, 0], prep["colors"][:, 1], prep["colors"][:, 2],
-        *[features[:, i] for i in range(L)],
-        depth,
-    ]
-    col_list += [zero] * (PW - len(col_list))
-    packed = jnp.stack(col_list, axis=1)
+    packed = pack_attribute_table(prep, features)
 
     k_sorted, s_sorted, n_valid, dorder = _narrow_sorted_pairs(
         settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull,
@@ -297,6 +281,28 @@ def build_stream_narrow(
     return rows, starts, n_valid
 
 
+def pack_attribute_table(prep, features):
+    """[N, PW] packed per-Gaussian attribute rows (HDR=8 layout of
+    ops/tile_composite): [pix_x, pix_y, conic0..2, ln_op, 0, 0, r, g, b,
+    feat_0..L-1, depth, pad...]. ONE stacked build: separate .at[:, i].set
+    column writes into the row-major table each cost a full stride-16 pass
+    (~0.8 ms at N=200k measured — they dominated the emission stage)."""
+    n = prep["depth"].shape[0]
+    ln_op = jnp.log(jnp.maximum(prep["opacity"], 1e-30))
+    L = features.shape[1]
+    zero = jnp.zeros((n,), jnp.float32)
+    col_list = [
+        prep["point_image"][:, 0], prep["point_image"][:, 1],
+        prep["conic"][:, 0], prep["conic"][:, 1], prep["conic"][:, 2],
+        ln_op, zero, zero,
+        prep["colors"][:, 0], prep["colors"][:, 1], prep["colors"][:, 2],
+        *[features[:, i] for i in range(L)],
+        prep["depth"],
+    ]
+    col_list += [zero] * (PW - len(col_list))
+    return jnp.stack(col_list, axis=1)
+
+
 def _morton_table_order(settings, prep, use_morton: bool):
     """(morder, mpos): the Morton table permutation and its inverse.
 
@@ -319,7 +325,7 @@ def _morton_table_order(settings, prep, use_morton: bool):
 
 
 def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
-                         tile_band=None, carry_src=True):
+                         tile_band=None, carry_src=True, rank=None):
     """Shared narrow-sort emission: -> (k_sorted [M] u32, s_sorted [M] i32
     or None, n_valid, dorder [N] i32). `src_ids` [N] i32 is the
     per-Gaussian payload carried through the sort (Morton position for the
@@ -332,7 +338,14 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
     SINGLE-COLUMN u32 sort suffices and the caller recovers the source row
     as `k & (RANK_CAP-1)` against a rank-ordered table (`packed[dorder]`).
     Halves the sort payload (PERF.md: sort cost is linear in columns) and
-    skips the src emission/broadcast entirely."""
+    skips the src emission/broadcast entirely.
+
+    `rank` overrides the depth ranks (u32 [n]): the multi-chip scatter
+    build (parallel/render.py) emits from a LOCAL Gaussian shard but needs
+    GLOBALLY consistent ranks so keys merge into (tile, depth) order across
+    chips — it passes this chip's slice of the full-depth argsort ranks
+    (values may exceed n; the caller guarantees they fit RANK_BITS).
+    `dorder` returns None in that mode (no local rank->row bijection)."""
     n = prep["depth"].shape[0]
     tiles_x = settings.tiles_x
     ts = settings.tile_size
@@ -354,10 +367,13 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
     span_y = rmax[:, 1] - rmin[:, 1]
 
     # ---- depth ranks: rank[g] = position of g in front-to-back order ----
-    big = jnp.where(vis, depth, jnp.inf)
-    dorder = jnp.argsort(big, stable=False)
-    rank = jnp.zeros(n, jnp.uint32).at[dorder].set(
-        jnp.arange(n, dtype=jnp.uint32))
+    if rank is None:
+        big = jnp.where(vis, depth, jnp.inf)
+        dorder = jnp.argsort(big, stable=False)
+        rank = jnp.zeros(n, jnp.uint32).at[dorder].set(
+            jnp.arange(n, dtype=jnp.uint32))
+    else:
+        dorder = None   # global override: no local rank->row bijection
 
     # ellipse-cull threshold: alpha >= 1/255 iff q <= 2*ln(255*op)
     t2 = 2.0 * jnp.log(jnp.maximum(255.0 * prep["opacity"], 1.0))

