@@ -203,6 +203,15 @@ class RuntimeConfig:
                                  # pair instead of padded tile lists; budget
                                  # and tiers are autotuned per scene and
                                  # re-audited as densification grows points
+    stream_train_auto: bool = field(  # auto-switch to the stream-binned
+        default_factory=lambda: os.getenv("LS4D_STREAM_TRAIN_AUTO",
+                                          "1") != "0")
+                                 # training composite when the padded tile
+                                 # lists saturate during training (the
+                                 # truncation probe fires at densify cadence;
+                                 # saturated lists silently clip the farthest
+                                 # Gaussians' gradients). Exactness over the
+                                 # ~1.5x step-speed cost of the stream path.
     watchdog_execv: bool = True  # NaN/explosion watchdog re-execs the process
                                  # (train.py:341-351); False raises instead
     orbax_ckpt: bool = field(    # async sharded checkpoints (ckpt_orbax.py)

@@ -446,6 +446,33 @@ def _tune_stream_train(cfg: Config, settings: RasterSettings,
     return settings, audit
 
 
+def maybe_stream_switch(cfg: Config, settings: RasterSettings,
+                        state: TrainState, train_cams, iteration: int = 0):
+    """Tile-list truncation probe -> stream-train switch decision.
+
+    Returns (new_settings, audit) when the padded tile lists are saturated
+    on the probe view (full-list fraction > 5% or peak band occupancy at
+    capacity — the only regimes where the capacity-bounded binning may have
+    DROPPED entries, render/raster.py binning_saturation), else None. The
+    caller re-specializes the jitted step with the returned settings; the
+    switch trades the ~1.5x step-speed cost of the stream composite for
+    truncation-free gradients (the CUDA reference's dynamically-sized
+    duplicate+sort buffers never truncate, so neither may training here)."""
+    from langsplat4d.render.pipeline import binning_report
+    stats = binning_report(settings, train_cams[0].camera_params(),
+                           state.gaussians())
+    if (stats["tile_full_frac"] <= 0.05
+            and stats["band_max_count"] < settings.band_capacity):
+        return None
+    logger.warning(
+        f"[ITER {iteration}] tile lists saturated (full frac "
+        f"{stats['tile_full_frac']:.1%}, band max "
+        f"{int(stats['band_max_count'])}/{settings.band_capacity}): "
+        "switching to the stream-binned training composite "
+        "(truncation-free; LS4D_STREAM_TRAIN_AUTO=0 opts out)")
+    return _tune_stream_train(cfg, settings, train_cams, state)
+
+
 def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                          dcfg: DeformConfig, stage: str, joint_train: bool,
                          train_iter: int, timer: Timer,
@@ -732,6 +759,24 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                     and iteration % opt.densification_interval == 0):
                 new_settings = stream_audit(step_cfg.settings, state, cams[0])
                 if new_settings is not None:
+                    step_cfg = step_cfg._replace(settings=new_settings)
+
+            # tile-list truncation auto-switch: when densify pressure
+            # saturates the padded tile lists (saturated lists silently
+            # clip the farthest Gaussians' contributions AND gradients —
+            # the CUDA reference's dynamic buffers never truncate), flip
+            # to the exact stream-binned training composite. One re-jit at
+            # densify cadence; exactness over the ~1.5x step-speed cost.
+            # TPU-gated: the stream composite is a pallas kernel (CPU runs
+            # keep the golden-tested list path, which tests bound).
+            if (stream_audit is None and cfg.runtime.stream_train_auto
+                    and not step_cfg.settings.stream_train
+                    and jax.default_backend() == "tpu"
+                    and iteration % opt.densification_interval == 0):
+                switched = maybe_stream_switch(cfg, step_cfg.settings, state,
+                                               train_cams, iteration)
+                if switched is not None:
+                    new_settings, stream_audit = switched
                     step_cfg = step_cfg._replace(settings=new_settings)
 
         if (iteration in ex.checkpoint_iterations) and "fine" in stage:

@@ -172,6 +172,124 @@ def dataclasses_replace(settings, **kw):
     return dataclasses.replace(settings, **kw)
 
 
+class TestTruncationAutoSwitch:
+    """VERDICT r3 weak #3 closure: on a truncation-stressed scene the
+    saturation probe must fire the stream-train switch, and the stream
+    path's gradients must stay exact where the capacity-truncated tile-list
+    path's are measurably wrong."""
+
+    def _stressed_scene(self, rng, n=192, cap=32):
+        """Dense cluster: all Gaussians project into a few tiles, so padded
+        per-tile lists saturate at tile_capacity=`cap` << n."""
+        cam = make_camera(64, 64)
+        settings = R.RasterSettings(
+            64, 64, sh_degree=0, lang_dim=3, include_feature=True,
+            tile_capacity=cap, composite_chunk=32, composite_tile_chunk=4)
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+        means = (means * 0.08).astype(np.float32)       # one cluster
+        arrs = tuple(jnp.asarray(a) for a in
+                     (means, scales, quats, opac, colors, lang))
+        return cam, settings, arrs
+
+    def test_probe_fires_and_switch_returns_stream_settings(
+            self, rng, _interpret):
+        from langsplat4d.config import Config
+        from langsplat4d.core import state as statelib
+        from langsplat4d.render.raster import binning_saturation
+        from langsplat4d.train.loop import maybe_stream_switch
+        from langsplat4d.train.trainstate import make_train_state
+        from tests.test_train import tiny_dcfg
+        from langsplat4d.field.deformation import init_deform_params
+
+        cam, settings, arrs = self._stressed_scene(rng)
+        means, scales, quats, opac, colors, lang = arrs
+        n = means.shape[0]
+        prep = R.preprocess(settings, cam, means, jnp.zeros((n, 2)), opac,
+                            scales, quats, None, colors_precomp=colors)
+        stats = binning_saturation(settings, prep)
+        assert float(stats["tile_full_frac"]) > 0.05, (
+            "fixture no longer saturates the tile lists")
+
+        # state whose raw params activate to the stressed attributes
+        gs = statelib.create_from_pcd(
+            np.asarray(means), np.asarray(colors[:, :3]), max_sh_degree=3,
+            lang_dim=3, capacity=256)
+        dcfg = tiny_dcfg(3)
+        dparams = init_deform_params(jax.random.PRNGKey(0), dcfg)
+        aabb = np.array([[1.6] * 3, [-1.6] * 3], np.float32)
+        state = make_train_state(gs, dparams, aabb)
+
+        class _Cam:
+            def camera_params(self):
+                return cam
+
+        cfg = Config()
+        switched = maybe_stream_switch(cfg, settings, state, [_Cam()])
+        assert switched is not None, "saturation probe did not fire"
+        new_settings, audit = switched
+        assert new_settings.stream_train
+        assert new_settings.stream_budget > 0
+        assert callable(audit)
+
+        # an UNstressed scene must NOT switch (no false positives)
+        rng2 = np.random.default_rng(5)
+        cam2, settings2, arrs2 = _scene(rng2, n=64)
+        m2 = arrs2[0]
+        gs2 = statelib.create_from_pcd(
+            np.asarray(m2), np.asarray(arrs2[4][:, :3]), max_sh_degree=3,
+            lang_dim=3, capacity=64)
+        state2 = make_train_state(gs2, init_deform_params(
+            jax.random.PRNGKey(0), dcfg), aabb)
+
+        class _Cam2:
+            def camera_params(self):
+                return cam2
+
+        assert maybe_stream_switch(cfg, settings2, state2, [_Cam2()]) is None
+
+    def test_stream_grads_exact_where_list_truncates(self, rng, _interpret):
+        """Quantified delta on the stressed scene: gradients of the
+        truncated list path diverge from the untruncated golden; the
+        stream-train path's match it."""
+        cam, settings, arrs = self._stressed_scene(rng)
+        means, scales, quats, opac, colors, lang = arrs
+        bg = jnp.zeros(3)
+        w_r = jnp.asarray(np.random.default_rng(3).normal(
+            size=(3, 64, 64)), jnp.float32)
+
+        def loss(s, *a):
+            means, scales, quats, opac, colors, lang = a
+            n = means.shape[0]
+            rendered, lang_img, _, _ = R.rasterize(
+                s, cam, means, jnp.zeros((n, 2)), opac, scales, quats,
+                None, colors, lang, bg)
+            return jnp.sum(rendered * w_r)
+
+        args = (means, scales, quats, opac, colors, lang)
+        grad6 = lambda s: jax.grad(
+            lambda *a: loss(s, *a), argnums=tuple(range(6)))(*args)
+        # golden: capacity == N, so no truncation is possible (bin_tiles
+        # clamps K to N; must stay a multiple of composite_chunk)
+        g_gold = grad6(dataclasses_replace(
+            settings, analytic_vjp=True, tile_capacity=192))
+        g_list = grad6(dataclasses_replace(settings, analytic_vjp=True))
+        g_stream = grad6(dataclasses_replace(
+            settings, stream_train=True, stream_tiers=TIERS,
+            stream_budget=8192, stream_train_chunk=32))
+
+        def err(g):
+            num = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(g, g_gold))
+            den = sum(float(jnp.sum(b ** 2)) for b in g_gold) + 1e-30
+            return (num / den) ** 0.5
+
+        e_list, e_stream = err(g_list), err(g_stream)
+        # the truncated list path must be MEASURABLY wrong here (else the
+        # fixture lost its point) and the stream path exact to float noise
+        assert e_list > 1e-2, f"list-path grads unexpectedly exact: {e_list}"
+        assert e_stream < 1e-3, f"stream grads diverged: {e_stream}"
+        assert e_stream < e_list / 10
+
+
 class TestStreamTrainCorners:
     def test_base_stage_no_features(self, rng, _interpret):
         """include_feature=False (base stages): c_feat = rgb+depth only —
