@@ -153,3 +153,55 @@ class TestNative:
         out = native.image_u8_to_chw_f32(img)
         ref = np.transpose(img.astype(np.float32) / 255.0, (2, 0, 1))
         np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestMaskNMS:
+    """Live-SAM mask NMS (preprocess/mask_nms.py; reference
+    generate_clip_features.py:238-317 semantics, vectorized)."""
+
+    def _blob(self, y0, y1, x0, x1, hw=32):
+        m = np.zeros((hw, hw), bool)
+        m[y0:y1, x0:x1] = True
+        return m
+
+    def test_duplicate_suppressed_containment_suppressed(self):
+        from langsplat4d.preprocess.mask_nms import mask_nms
+        big = self._blob(2, 30, 2, 30)
+        dup = self._blob(2, 30, 2, 29)          # IoU ~0.96 with big
+        inner = self._blob(10, 20, 10, 20)      # fully inside big
+        other = self._blob(0, 8, 24, 32)        # disjoint-ish corner
+        masks = np.stack([big, dup, inner, other])
+        scores = np.asarray([0.9, 0.8, 0.7, 0.6])
+        keep = mask_nms(masks, scores, iou_thr=0.7, score_thr=0.1,
+                        inner_thr=0.2)
+        assert 0 in keep          # highest-scored survives
+        assert 1 not in keep      # near-duplicate suppressed by IoU
+        assert 2 not in keep      # contained mask suppressed by inner rule
+        assert 3 in keep          # disjoint mask survives
+
+    def test_score_floor_with_top3_fallback(self):
+        from langsplat4d.preprocess.mask_nms import mask_nms
+        masks = np.stack([self._blob(0, 8, 0, 8), self._blob(10, 18, 10, 18),
+                          self._blob(20, 28, 20, 28),
+                          self._blob(0, 8, 20, 28)])
+        # all below score_thr -> top-3 fallback keeps exactly 3
+        keep = mask_nms(masks, np.asarray([0.05, 0.04, 0.03, 0.02]),
+                        score_thr=0.1)
+        assert len(keep) == 3
+        # mixed: only above-threshold masks survive
+        keep = mask_nms(masks, np.asarray([0.9, 0.05, 0.8, 0.04]),
+                        score_thr=0.1)
+        assert set(keep.tolist()) == {0, 2}
+
+    def test_masks_update_levels(self):
+        from langsplat4d.preprocess.mask_nms import masks_update
+        lvl = [
+            {"segmentation": self._blob(2, 30, 2, 30),
+             "stability_score": 0.95, "predicted_iou": 0.9},
+            {"segmentation": self._blob(2, 30, 2, 29),
+             "stability_score": 0.9, "predicted_iou": 0.9},
+        ]
+        (kept,), = (masks_update(lvl),)
+        assert len(kept) == 1
+        assert kept[0]["stability_score"] == 0.95
+        assert masks_update([])[0] == []
