@@ -206,6 +206,35 @@ OptimizationParams = dict(
             miou = float(line.split(":")[1])
     print(f"mIoU: {miou}")
 
+    # Language discriminability MARGIN: mean relevancy (cosine vs the known
+    # object feature, AE-decoded) inside the GT mask minus outside, averaged
+    # over the eval frames. Unlike thresholded mIoU — measured to swing
+    # 0.08<->0.51 between runs whose renders correlate 0.9999 at reduced
+    # scale (the adaptive threshold sits on a knife-edge when the object is
+    # a few hundred pixels) — the margin moves smoothly with render quality,
+    # so it is the reduced-scale regression gate's primary floor.
+    from langsplat4d.ae.model import decode as ae_decode, load_ckpt
+    ae_params = load_ckpt(os.path.join(work, "ae", "quality",
+                                       "best_ckpt.pth"),
+                          [8, 3], [8, clip_dim], feature_dim=clip_dim)
+    import jax.numpy as _jnp
+    f_obj = info["f_obj"] / (np.linalg.norm(info["f_obj"]) + 1e-9)
+    margins = []
+    for fi in eval_frames:
+        rp = os.path.join(model, "video_lang", f"ours_{iters}",
+                          "renders_npy", f"{fi:05d}.npy")
+        r = np.load(rp)                                   # [H, W, 3]
+        dec = np.asarray(ae_decode(ae_params,
+                                   _jnp.asarray(r.reshape(-1, 3))))
+        dec = dec.reshape(hw, hw, clip_dim)
+        dn = dec / (np.linalg.norm(dec, axis=-1, keepdims=True) + 1e-9)
+        sim = dn @ f_obj
+        m = info[f"mask_{fi}"] > 0
+        margins.append(float(sim[m].mean() - sim[~m].mean()))
+    lang_margin = float(np.mean(margins))
+    print(f"lang margin (in-mask minus out-of-mask relevancy): "
+          f"{lang_margin:.4f}")
+
     metrics = {
         "scene": "structured moving-ball fixture "
                  f"({n_imgs} views, {hw}x{hw}, clip_dim {clip_dim})",
@@ -215,6 +244,7 @@ OptimizationParams = dict(
         "quality_scale": scale,
         "psnr_db": round(psnr, 2),
         "miou": round(miou, 4) if miou is not None else None,
+        "lang_margin": round(lang_margin, 4),
         "platform": os.environ.get("JAX_PLATFORMS", "tpu(axon)"),
         "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
@@ -231,11 +261,15 @@ OptimizationParams = dict(
     # dB / ~0.05 of seed noise headroom.
     psnr_floor = float(os.getenv("QUALITY_PSNR_FLOOR", 27.0))
     miou_floor = float(os.getenv("QUALITY_MIOU_FLOOR", 0.78))
+    margin_floor = float(os.getenv("QUALITY_MARGIN_FLOOR", 0.1))
     failures = []
     if psnr < psnr_floor:
         failures.append(f"PSNR {psnr:.2f} dB < floor {psnr_floor}")
     if miou is None or miou < miou_floor:
         failures.append(f"mIoU {miou} < floor {miou_floor}")
+    if lang_margin < margin_floor:
+        failures.append(f"lang margin {lang_margin:.4f} < floor "
+                        f"{margin_floor}")
     if failures:
         raise SystemExit("QUALITY GATE FAILED: " + "; ".join(failures))
     print(f"quality gate passed: PSNR {psnr:.2f} >= {psnr_floor}, "
