@@ -130,7 +130,11 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         # cost). Measured on the trained-checkpoint-realistic Neu3D-scale
         # scene: 27.0 FPS without vs 24.4 with — the reorder costs more than
         # the gather locality buys at 200k Gaussians, so OFF is the default.
-        stream_morton=os.environ.get("LS4D_STREAM_MORTON", "0") == "1")
+        stream_morton=os.environ.get("LS4D_STREAM_MORTON", "0") == "1",
+        # A/B knob: single-column key sort + rank-ordered table (default;
+        # PERF.md round 4) vs the legacy (key, src) 2-column sort
+        stream_single_key=os.environ.get("LS4D_STREAM_SINGLE_KEY",
+                                         "1") != "0")
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.model.white_background
                      else [0.0, 0.0, 0.0], jnp.float32)
     gs = state.gaussians()

@@ -35,6 +35,9 @@ HBM_BW = 819e9           # B/s
 SORT_NS_PER_ELEM_COL = 0.6
 CHUNK_FLOOR_NS = 1000.0  # per Pallas chunk walked
 GATHER_NS_PER_ROW = 3.0  # best-case (locality-friendly) row gather
+GATHER_NS_GRID = 1.0     # bilinear grid tap (small planes stay cache/VMEM
+                         # resident — the 3 ns HBM-row figure over-bounds
+                         # them: measured deform 5.3 ms vs 4.8M taps)
 
 
 @dataclass
@@ -72,7 +75,9 @@ def deform_flops(n: int, *, out_dim: int = 16, n_scales: int = 2,
     /root/reference/scene/deformation.py:103-182."""
     feat = out_dim * n_scales
     # time planes: 3 planes x n_scales, 4 bilinear taps x out_dim channels
-    gather_rows = n * 3 * n_scales * 4
+    # (grid taps, not HBM rows: scaled by GATHER_NS_GRID/GATHER_NS_PER_ROW)
+    gather_rows = (n * 3 * n_scales * 4
+                   * (GATHER_NS_GRID / GATHER_NS_PER_ROW))
     vpu = n * 3 * n_scales * out_dim * 8          # bilerp + product fold
     # trunk: feat->width (+hidden depth), heads: width->(3+3+4+1+sh+lang)
     head_out = 3 + 3 + 4 + 1 + sh_coeffs + lang_dim
