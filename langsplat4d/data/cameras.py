@@ -36,13 +36,52 @@ class HostCamera:
     trans: np.ndarray = field(default_factory=lambda: np.zeros(3))
     scale: float = 1.0
     image_path: Optional[str] = None
+    # lazy-decode spec: when `image` is None and `image_path` is set, the
+    # `image` property decodes on first access with these load_image args.
+    # Path-backed cameras whose pixels are never touched (device-GT-cache
+    # hits in train/loop.build_batch) therefore cost zero host decode.
+    image_resize: Optional[Tuple[int, int]] = None
+    image_filt: str = "bicubic"
 
     def __post_init__(self):
-        if self.image is not None:
-            self.image = np.clip(self.image[:3], 0.0, 1.0).astype(np.float32)
-            self.height, self.width = self.image.shape[1:]
-            if self.mask is not None and self.mask.ndim == 3:
-                self.image = self.image * self.mask
+        # masks assigned AFTER construction (hyper test split) must not be
+        # baked into a later lazy decode — snapshot the construction-time
+        # choice so eager and lazy normalization are identical
+        self.__dict__["_mask_image"] = (
+            self.mask if self.mask is not None and self.mask.ndim == 3
+            else None)
+        img = self.__dict__.get("_image")
+        # provenance for cache keying: pixels are "file-backed" only when
+        # they came (or will come) from image_path via the lazy decode and
+        # were never reassigned afterwards
+        self.__dict__["_image_from_ctor"] = img is not None
+        self.__dict__["_image_dirty"] = False
+        if img is not None:
+            self.__dict__["_image"] = self._normalize(img)
+
+    def _normalize(self, img: np.ndarray) -> np.ndarray:
+        img = np.clip(img[:3], 0.0, 1.0).astype(np.float32)
+        self.height, self.width = img.shape[1:]
+        m = self.__dict__.get("_mask_image")
+        if m is not None:
+            img = img * m
+        return img
+
+    @property
+    def image_materialized(self) -> bool:
+        """True when pixels are already in memory (eager construction, a
+        direct `cam.image = ...` assignment, or a past lazy decode)."""
+        return self.__dict__.get("_image") is not None
+
+    @property
+    def image_file_backed(self) -> bool:
+        """True when the pixel content is exactly the lazy decode of
+        `image_path` (whether or not it has happened yet): the image was not
+        constructor-supplied and was never reassigned. Cache keys may then
+        use file identity instead of hashing pixels."""
+        return (self.image_path is not None
+                and not self.__dict__.get("_image_from_ctor", True)
+                and not self.__dict__.get("_image_dirty", True))
 
     @property
     def world_view_transform(self) -> np.ndarray:
@@ -62,14 +101,22 @@ class HostCamera:
 
     def camera_params(self):
         """Device-side CameraParams for the rasterizer."""
+        import jax
         import jax.numpy as jnp
+        return jax.tree.map(jnp.asarray, self.camera_params_np())
+
+    def camera_params_np(self):
+        """Host-side CameraParams (numpy leaves): lets batch builders stack
+        whole camera batches in numpy and pay ONE upload per field instead of
+        5 device dispatches per camera (PERF.md: dispatch setup over the
+        device tunnel dominates small-array uploads)."""
         from langsplat4d.render.raster import CameraParams
         return CameraParams(
-            viewmatrix=jnp.asarray(self.world_view_transform, jnp.float32),
-            projmatrix=jnp.asarray(self.full_proj_transform, jnp.float32),
-            campos=jnp.asarray(self.camera_center, jnp.float32),
-            tanfovx=jnp.asarray(np.tan(self.fovx * 0.5), jnp.float32),
-            tanfovy=jnp.asarray(np.tan(self.fovy * 0.5), jnp.float32),
+            viewmatrix=np.asarray(self.world_view_transform, np.float32),
+            projmatrix=np.asarray(self.full_proj_transform, np.float32),
+            campos=np.asarray(self.camera_center, np.float32),
+            tanfovx=np.asarray(np.tan(self.fovx * 0.5), np.float32),
+            tanfovy=np.asarray(np.tan(self.fovy * 0.5), np.float32),
         )
 
     def get_language_feature(self, language_feature_dir: str,
@@ -138,6 +185,29 @@ class HostCamera:
         else:
             seg = seg.astype(np.int32)
         return seg, np.ascontiguousarray(feature_map, dtype=np.float32)
+
+
+def _host_camera_image_get(self: HostCamera) -> Optional[np.ndarray]:
+    img = self.__dict__.get("_image")
+    if img is None and self.image_path is not None:
+        from langsplat4d.data.readers import load_image
+        img = self._normalize(load_image(
+            self.image_path, resize=self.image_resize, filt=self.image_filt))
+        self.__dict__["_image"] = img
+    return img
+
+
+def _host_camera_image_set(self: HostCamera, v: Optional[np.ndarray]) -> None:
+    self.__dict__["_image"] = v
+    self.__dict__["_image_dirty"] = True   # cleared by __post_init__ for
+    #                                        the constructor's assignment
+
+
+# `image` is both a dataclass field and a lazy property: the generated
+# __init__'s `self.image = image` routes through the setter (raw storage),
+# __post_init__ normalizes an eagerly-passed array exactly as before, and the
+# getter decodes path-backed cameras on first pixel access only.
+HostCamera.image = property(_host_camera_image_get, _host_camera_image_set)
 
 
 @dataclass

@@ -388,7 +388,6 @@ class HyperDataset:
         if idx in self._cache:
             return self._cache[idx]
         cam = self.all_cam_params[idx]
-        image = load_image(self.all_img[idx])[:3]
         R = cam["orientation"].T
         T = -cam["position"] @ R
         fovy = focal2fov(cam["focal_length"], self.h)
@@ -397,11 +396,14 @@ class HyperDataset:
         if self.image_mask is not None and self.split == "test":
             m = load_image(self.image_mask[idx])[0:1]
             mask = m
+        # image stays lazy (path-backed): the device GT cache keys by file
+        # identity, so training revisits never decode the PNG again
         hc = HostCamera(
-            colmap_id=uid, R=R, T=T, fovx=fovx, fovy=fovy, image=image,
+            colmap_id=uid, R=R, T=T, fovx=fovx, fovy=fovy, image=None,
             image_name=os.path.basename(self.all_img[idx]), uid=uid,
             time=self.all_time[idx], mask=None,
-            image_path=self.all_img[idx])
+            image_path=self.all_img[idx],
+            width=int(self.w), height=int(self.h))
         hc.mask = mask
         self._cache[idx] = hc
         return hc
@@ -558,18 +560,21 @@ class Neu3DDataset:
         return len(self.image_paths)
 
     def __getitem__(self, index) -> HostCamera:
-        image = load_image(self.image_paths[index], resize=self.img_wh,
-                           filt="lanczos")[:3]
         R, T = self.image_poses[index]
-        fovx = focal2fov(self.focal[0], image.shape[2])
-        fovy = focal2fov(self.focal[0], image.shape[1])
+        w, h = int(self.img_wh[0]), int(self.img_wh[1])
+        fovx = focal2fov(self.focal[0], w)
+        fovy = focal2fov(self.focal[0], h)
+        # lazy decode with the loader's resize spec: revisits that hit the
+        # device GT cache skip the lanczos decode entirely
         return HostCamera(
-            colmap_id=index, R=R, T=T, fovx=fovx, fovy=fovy, image=image,
+            colmap_id=index, R=R, T=T, fovx=fovx, fovy=fovy, image=None,
             image_name=f"{index:06d}", uid=index,
             time=self.image_times[index],
             cam_name=self.cams[index // self.FRAMES]
             if index // self.FRAMES < len(self.cams) else self.cams[-1],
-            image_path=self.image_paths[index])
+            image_path=self.image_paths[index],
+            width=w, height=h,
+            image_resize=(w, h), image_filt="lanczos")
 
     def cam_infos(self):
         infos = []

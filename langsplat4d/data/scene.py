@@ -62,12 +62,16 @@ class CameraDataset:
             return item
         info: CameraInfo = item
         image = info.image
-        if image is None and info.image_path is not None:
+        if (image is None and info.image_path is not None
+                and not (info.width and info.height)):
+            # lazy decode needs known dimensions up front; decode eagerly
+            # when the reader did not record them
             image = load_image(info.image_path)
         return HostCamera(
             colmap_id=index, R=info.R, T=info.T, fovx=info.FovX,
             fovy=info.FovY, image=image, image_name=f"{index:06d}", uid=index,
-            time=info.time, mask=info.mask, image_path=info.image_path)
+            time=info.time, mask=info.mask, image_path=info.image_path,
+            width=int(info.width or 0), height=int(info.height or 0))
 
     @property
     def image_times(self) -> List[float]:

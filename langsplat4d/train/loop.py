@@ -70,8 +70,12 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
     if cache_mb > 0:
         from langsplat4d.data.gt_cache import get_cache, image_fingerprint
         cache = get_cache(cache_mb)
-    cam_params = [c.camera_params() for c in cams]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cam_params)
+    # camera matrices: stack in numpy, upload once per field — 5 dispatches
+    # per batch instead of 5 per camera + 5 stacks (PERF.md: dispatch setup
+    # over the device tunnel dominates small-array uploads)
+    cam_params = [c.camera_params_np() for c in cams]
+    stacked = jax.tree.map(
+        lambda *xs: jnp.asarray(np.stack(xs)), *cam_params)
     times = jnp.asarray([c.time for c in cams], jnp.float32)
 
     # ---- images: per-camera device arrays, cached across revisits ----
@@ -83,10 +87,23 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
             return q
         return np.asarray(img, np.float32)
 
+    def image_key(c):
+        # File-backed cameras (pixels are exactly the lazy decode of
+        # image_path, never constructor-supplied or mutated) key by file
+        # identity: a cache hit then skips the host decode outright — the
+        # dominant full-loop host cost (PERF.md). Anything else keys by
+        # content fingerprint, so tests/augmentation that mutate `cam.image`
+        # still miss instead of being served stale bytes.
+        if getattr(c, "image_file_backed", False):
+            st = os.stat(c.image_path)
+            return ("img", c.image_name, split, c.image_path,
+                    st.st_mtime_ns, st.st_size, c.image_resize, c.image_filt)
+        return ("img", c.image_name, split, image_fingerprint(c.image))
+
     imgs_dev = []
     for c in cams:
         if cache is not None:
-            key = ("img", c.image_name, split, image_fingerprint(c.image))
+            key = image_key(c)
             hit = cache.peek(key)
             dev = (hit if hit is not None
                    else cache.put(key, (encode_image(c.image),)))[0]
