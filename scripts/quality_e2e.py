@@ -270,6 +270,29 @@ OptimizationParams = dict(
     if lang_margin < margin_floor:
         failures.append(f"lang margin {lang_margin:.4f} < floor "
                         f"{margin_floor}")
+    # GOLDEN_EXPORT=<dir>: snapshot the trained model + AE + metrics as the
+    # committed golden fixture consumed by tests/test_golden_quality.py (the
+    # default-suite render+eval regression gate — no training required).
+    golden = os.getenv("GOLDEN_EXPORT")
+    if golden:
+        import shutil
+        dst = os.path.abspath(golden)
+        dst_pc = os.path.join(dst, "point_cloud",
+                              os.path.basename(trained_marker))
+        if os.path.exists(dst_pc):
+            shutil.rmtree(dst_pc)
+        os.makedirs(os.path.dirname(dst_pc), exist_ok=True)
+        shutil.copytree(trained_marker, dst_pc)
+        for fn, src in (("cfg_args", os.path.join(model, "cfg_args")),
+                        ("quality_cfg.py", cfgp),
+                        ("ae_best_ckpt.pth",
+                         os.path.join(work, "ae", "quality",
+                                      "best_ckpt.pth"))):
+            shutil.copy(src, os.path.join(dst, fn))
+        with open(os.path.join(dst, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print(f"golden fixture exported to {dst}")
+
     if failures:
         raise SystemExit("QUALITY GATE FAILED: " + "; ".join(failures))
     print(f"quality gate passed: PSNR {psnr:.2f} >= {psnr_floor}, "
