@@ -297,6 +297,20 @@ def preprocess(
     cyy = v0 * t10 + v1 * t11 + v2 * t12 + 0.3
 
     det = cxx * cyy - cxy * cxy
+    # f32-overflow cull: a runaway Gaussian (log-scale ~20+ drives cov2d
+    # past 3.4e38) turns det into inf and conic into inf*0 = NaN, and
+    # `det != 0` does NOT catch it — one such Gaussian NaN-poisons the whole
+    # frame AND, through the backward, the deformation MLP (observed in
+    # training: watchdog trip at a deterministic iteration). The CUDA
+    # reference has the same f32 blowup and answers it with its execv
+    # watchdog (train.py:341-351); here the Gaussian is culled with zero
+    # gradient instead — it stops receiving updates and training continues.
+    num_ok = (jnp.isfinite(det) & jnp.isfinite(cxx) & jnp.isfinite(cyy)
+              & jnp.isfinite(cxy))
+    cxx = jnp.where(num_ok, cxx, 1.0)
+    cyy = jnp.where(num_ok, cyy, 1.0)
+    cxy = jnp.where(num_ok, cxy, 0.0)
+    det = jnp.where(num_ok, det, 1.0)
     det_safe = jnp.where(det == 0.0, 1.0, det)
     inv_det = 1.0 / det_safe
     conic = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=-1)
@@ -305,7 +319,7 @@ def preprocess(
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
 
-    visible = (depth > 0.2) & (det != 0.0)
+    visible = (depth > 0.2) & (det != 0.0) & num_ok
     if active is not None:
         visible = visible & active
 

@@ -37,9 +37,19 @@ STAGE_ORDER = ("coarse-base", "coarse-lang", "fine-base", "fine-lang")
 def _watchdog_restart(cfg: Config, reason: str) -> None:
     """NaN/explosion recovery: re-exec the process with the same argv
     (reference train.py:341-351). `runtime.watchdog_execv=False` raises
-    instead — for harnesses where a restart loop would never terminate."""
+    instead — for harnesses where a restart loop would never terminate.
+
+    Unlike the reference, restarts are CAPPED (LS4D_WATCHDOG_MAX_RESTARTS,
+    default 3): training here is deterministic, so a NaN that reproduces on
+    every restart would loop forever — after the cap the process raises so
+    the failure surfaces instead of burning the machine."""
     if getattr(cfg.runtime, "watchdog_execv", True):
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        n = int(os.environ.get("LS4D_WATCHDOG_RESTART_COUNT", "0"))
+        cap = int(os.environ.get("LS4D_WATCHDOG_MAX_RESTARTS", "3"))
+        if n < cap:
+            os.environ["LS4D_WATCHDOG_RESTART_COUNT"] = str(n + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        logger.error(f"watchdog restart cap reached ({n}/{cap}); raising")
     raise RuntimeError(f"training watchdog tripped: {reason}")
 
 
@@ -650,11 +660,48 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         if shard_batch_fn is not None:
             batch = shard_batch_fn(batch)
 
+        state_before = state   # train_step does not donate; kept for the
+        #                        forensics dump below (no cost otherwise)
         with mctx():
             state, metrics, vs_grad, visibility, radii_max = train_step(
                 step_cfg, state, batch, bg,
                 jnp.asarray(iteration, jnp.int32), state.active_sh_degree)
         pending_losses.append((iteration, metrics["loss"]))
+
+        if os.getenv("LS4D_NAN_FORENSICS"):
+            # Debug mode (jax_debug_nans is ineffective on runtimes that
+            # defer execution until a value is pulled, and per-iteration
+            # syncs cost seconds over the device tunnel): keep the last 12
+            # (pre-step state, batch) transitions alive on device (no
+            # donation, so this is just references) and probe a params-
+            # finite canary at the existing every-10 loss-drain cadence. On
+            # a trip, dump the whole window — offline bisection finds the
+            # exact poisoning transition.
+            if "_nan_canary" not in gui_ctx:
+                from collections import deque
+                gui_ctx["_nan_window"] = deque(maxlen=12)
+                gui_ctx["_nan_canary"] = jax.jit(lambda tree: jnp.all(
+                    jnp.stack([jnp.isfinite(x).all()
+                               for x in jax.tree.leaves(tree)
+                               if jnp.issubdtype(x.dtype, jnp.floating)])))
+            gui_ctx["_nan_window"].append((iteration, state_before, batch))
+            if iteration % 10 == 0 and not bool(
+                    gui_ctx["_nan_canary"](state.params)):
+                import pickle
+                dump = os.path.join(cfg.model.model_path or "/tmp",
+                                    f"nan_forensics_{stage}_{iteration}.pkl")
+                with open(dump, "wb") as fh:
+                    pickle.dump(dict(
+                        stage=stage,
+                        window=[(it_, jax.device_get(s_),
+                                 jax.device_get(b_))
+                                for it_, s_, b_ in gui_ctx["_nan_window"]],
+                        bg=np.asarray(bg),
+                        active_sh_degree=int(state.active_sh_degree),
+                        step_cfg=step_cfg), fh)
+                logger.error(f"NaN window dumped to {dump}")
+                _watchdog_restart(cfg, f"params non-finite at iteration "
+                                       f"{iteration} (forensics dumped)")
 
         if iteration % 10 == 0 or iteration == train_iter:
             loss = drain_losses()
