@@ -128,8 +128,12 @@ def render_tiles_sharded(
                   P(axis), P()),
         out_specs=P(None, axis, None),
         check_vma=False)
-    img = fn(cam, means3d, opacities, scales, rotations, color_in, features,
-             active, bg)
+    # jit the whole shard_map: eager shard_map dispatches (and on a slow
+    # host, compiles) every inner primitive as its own pjit — minutes of
+    # lowering for the eager test/dryrun call sites. Under an outer jit
+    # this inner jit is a no-op.
+    img = jax.jit(fn)(cam, means3d, opacities, scales, rotations, color_in,
+                      features, active, bg)
     return img[:, : settings.image_height, :]
 
 
@@ -293,8 +297,10 @@ def render_tiles_scatter(
                   P(axis), P()),
         out_specs=(P(None, axis, None), P()),
         check_vma=False)
-    img, dropped = fn(cam, means3d, opacities, scales, rotations, color_in,
-                      features, active, bg)
+    # see render_tiles_sharded: jit to avoid eager-shard_map per-primitive
+    # dispatch/compile at the eager (test/dryrun) call sites
+    img, dropped = jax.jit(fn)(cam, means3d, opacities, scales, rotations,
+                               color_in, features, active, bg)
     return img[:, : settings.image_height, :], dropped
 
 
