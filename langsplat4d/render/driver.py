@@ -187,8 +187,12 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
             sy = (rmax[:, 1] - rmin[:, 1])[vism]
             spans = np.maximum(sx, sy)
             tiers = autotune_tiers(spans)
-            narrow = (gs.capacity <= (1 << 18)
-                      and settings.num_tiles < (1 << 14)
+            # beyond 2^18 capacity / 2^14 tiles the narrow build
+            # self-switches to the two-column wide key (render/stream.py),
+            # so the fast path now covers the reference's full 360k
+            # operating range (train.py:399) up to the 2^24 f32-exact cap
+            narrow = (gs.capacity < (1 << 24)
+                      and settings.num_tiles < (1 << 24)
                       and os.environ.get("LS4D_STREAM_NARROW", "1") != "0")
             budget = 0
             if narrow:

@@ -234,8 +234,10 @@ def build_stream_narrow(
     (same cutoff), so culling them preserves exactness bit-for-bit while
     shortening segments.
 
-    Requires capacity <= 2^18 and num_tiles < 2^14 (u32 key packing);
-    callers fall back to the classic path otherwise.
+    Capacity <= 2^18 and num_tiles < 2^14 use the packed-u32 key; beyond
+    that the build self-switches to the two-column wide key (capacity up
+    to 2^24 — covers the reference's 360k density cap, train.py:399) at
+    the cost of one extra u32 sort column.
     """
     prep = jax.lax.stop_gradient(prep)
     features = jax.lax.stop_gradient(features)
@@ -257,26 +259,32 @@ def build_stream_narrow(
 
     packed = pack_attribute_table(prep, features)
 
+    # wide mode lifts the u32 key-packing caps for >= 2^18 capacity (the
+    # reference's 360k operating point) at the cost of one extra u32 sort
+    # column — see _narrow_sorted_pairs
+    wide = n > RANK_CAP or num_tiles >= (1 << 14)
     k_sorted, s_sorted, n_valid, dorder = _narrow_sorted_pairs(
         settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull,
-        tile_band=tile_band, carry_src=not single_key)
+        tile_band=tile_band, carry_src=not single_key, wide=wide)
     budget = min(int(budget), int(k_sorted.shape[0]))
     k_b = k_sorted[:budget]
     if single_key:
-        # rank-ordered table: src = rank bits of the key. One N-row
-        # permutation replaces carrying src through the M-slot sort, and
-        # the budget gather's indices ASCEND within every tile segment
-        # (ranks are sorted within a tile), which is the locality the
-        # Morton experiment paid an extra argsort for. Sentinel keys index
-        # past N and clamp — excluded by `starts` anyway.
+        # rank-ordered table: src = rank bits of the key (wide mode: the
+        # sorted rank column). One N-row permutation replaces carrying src
+        # through the M-slot sort, and the budget gather's indices ASCEND
+        # within every tile segment (ranks are sorted within a tile), which
+        # is the locality the Morton experiment paid an extra argsort for.
+        # Sentinel keys index past N and clamp — excluded by `starts` anyway.
         table = packed[dorder]                 # [N, 16]
-        s_b = (k_b & jnp.uint32(RANK_CAP - 1)).astype(jnp.int32)
+        s_b = (s_sorted[:budget] if wide
+               else (k_b & jnp.uint32(RANK_CAP - 1)).astype(jnp.int32))
     else:
         table = packed[morder] if use_morton else packed   # [N, 16]
         s_b = s_sorted[:budget]
 
     rows = table[s_b].T                        # [16, budget]
-    bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS)
+    bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) if wide else
+              (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS))
     starts = jnp.searchsorted(k_b, bounds).astype(jnp.int32)
     return rows, starts, n_valid
 
@@ -325,7 +333,8 @@ def _morton_table_order(settings, prep, use_morton: bool):
 
 
 def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
-                         tile_band=None, carry_src=True, rank=None):
+                         tile_band=None, carry_src=True, rank=None,
+                         wide=False):
     """Shared narrow-sort emission: -> (k_sorted [M] u32, s_sorted [M] i32
     or None, n_valid, dorder [N] i32). `src_ids` [N] i32 is the
     per-Gaussian payload carried through the sort (Morton position for the
@@ -339,6 +348,17 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
     as `k & (RANK_CAP-1)` against a rank-ordered table (`packed[dorder]`).
     Halves the sort payload (PERF.md: sort cost is linear in columns) and
     skips the src emission/broadcast entirely.
+
+    `wide=True` lifts the packed-u32 limits (capacity <= 2^18, tiles <
+    2^14) for the reference's 360k operating point (train.py:399): tile
+    and depth-rank travel as TWO u32 sort-key columns (num_keys=2) instead
+    of one packed key — (tile, rank) lex order is identical, capacity now
+    bounded only by f32-exact integer emission (2^24). k_sorted is then
+    the TILE column (sentinel KEY_SENTINEL), and with carry_src=False
+    s_sorted returns the sorted RANK column (the rank->row recovery that
+    the packed key's low bits provide in narrow mode). Cost: one extra u32
+    sort column — the measured 2-col arm, within noise of single-key
+    (PERF.md r4 sweep).
 
     `rank` overrides the depth ranks (u32 [n]): the multi-chip scatter
     build (parallel/render.py) emits from a LOCAL Gaussian shard but needs
@@ -354,10 +374,14 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
     else:
         ty0, band_rows = tile_band
     num_tiles = band_rows * tiles_x
-    if n > RANK_CAP or num_tiles >= (1 << 14):
+    if not wide and (n > RANK_CAP or num_tiles >= (1 << 14)):
         raise ValueError(
             f"narrow stream build needs capacity<=2^18 and tiles<2^14 "
-            f"(got {n}, {num_tiles}); use the classic build")
+            f"(got {n}, {num_tiles}); pass wide=True")
+    if wide and (n >= (1 << 24) or num_tiles >= (1 << 24)):
+        raise ValueError(
+            f"wide stream build needs capacity and tiles < 2^24 "
+            f"(f32-exact integer emission; got {n}, {num_tiles})")
 
     rmin = prep["rect_min"].astype(jnp.int32)
     rmax = prep["rect_max"].astype(jnp.int32)
@@ -382,7 +406,7 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
 
     import numpy as np
 
-    key_parts, src_parts = [], []
+    key_parts, rank_parts, src_parts = [], [], []
 
     def emit(fields, active, slots):
         """Emit one tier's slots as (key, src) pairs.
@@ -409,9 +433,16 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
             ok = ok & (q <= tt2[None, :])
         ty_loc = tys if tile_band is None \
             else tys - jnp.asarray(ty0, jnp.float32)
-        key = (txs + ty_loc * tiles_x).astype(jnp.uint32) << RANK_BITS
-        key = key | d_rank.astype(jnp.uint32)[None, :]
-        key_parts.append(jnp.where(ok, key, KEY_SENTINEL).reshape(-1))
+        tile = (txs + ty_loc * tiles_x).astype(jnp.uint32)
+        rank_u = d_rank.astype(jnp.uint32)[None, :]
+        if wide:
+            # two u32 key columns (tile, rank): same lex order, no bit caps
+            key_parts.append(jnp.where(ok, tile, KEY_SENTINEL).reshape(-1))
+            rank_parts.append(
+                jnp.broadcast_to(rank_u, ok.shape).reshape(-1))
+        else:
+            key = (tile << RANK_BITS) | rank_u
+            key_parts.append(jnp.where(ok, key, KEY_SENTINEL).reshape(-1))
         if carry_src:
             src_parts.append(jnp.broadcast_to(
                 d_src.astype(jnp.int32)[None, :], ok.shape).reshape(-1))
@@ -448,6 +479,18 @@ def _narrow_sorted_pairs(settings, prep, src_ids, *, tiers, ellipse_cull,
     # is_stable=False: every valid key is unique (a Gaussian emits each tile
     # at most once across the nested rungs), and sentinel slots land past the
     # last tile's searchsorted bound — the stable sort measures 2-4x slower.
+    if wide:
+        rank_all = jnp.concatenate(rank_parts)
+        if carry_src:
+            src_all = jnp.concatenate(src_parts)
+            k_sorted, _, s_sorted = jax.lax.sort(
+                (key_all, rank_all, src_all), num_keys=2, is_stable=False)
+        else:
+            # the sorted rank column IS the src recovery (rank-ordered table)
+            k_sorted, r_sorted = jax.lax.sort(
+                (key_all, rank_all), num_keys=2, is_stable=False)
+            s_sorted = r_sorted.astype(jnp.int32)
+        return k_sorted, s_sorted, n_valid, dorder
     if not carry_src:
         k_sorted = jax.lax.sort(key_all, is_stable=False)
         return k_sorted, None, n_valid, dorder
@@ -505,15 +548,19 @@ def build_stream_train(
 
     use_morton = getattr(settings, "stream_morton", False)
     morder, mpos = _morton_table_order(settings, prep, use_morton)
+    n = prep["depth"].shape[0]
+    wide = n > RANK_CAP or num_tiles >= (1 << 14)   # 360k training support
     k_sorted, s_sorted, n_valid, _dorder = _narrow_sorted_pairs(
-        settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull)
+        settings, prep, mpos, tiers=tiers, ellipse_cull=ellipse_cull,
+        wide=wide)
     budget = min(budget, int(k_sorted.shape[0]))
     k_b = k_sorted[:budget]
     # compose the Morton permutation back to original ids: ONE [budget]
     # int32 gather instead of gathering rows through a reordered table
     s_b = morder[s_sorted[:budget]] if use_morton else s_sorted[:budget]
 
-    bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS)
+    bounds = (jnp.arange(num_tiles + 1, dtype=jnp.uint32) if wide else
+              (jnp.arange(num_tiles + 1, dtype=jnp.uint32) << RANK_BITS))
     raw_starts = jnp.searchsorted(k_b, bounds).astype(jnp.int32)  # [T+1]
 
     # ---- chunk-aligned remap ----

@@ -7,6 +7,43 @@ import pytest
 from tests.test_train import tiny_state
 
 
+def _single_device_ref_img(settings, cam, means, opac, scales, quats,
+                           colors, lang, active, bg, *, tiers, budget):
+    """Jitted single-device narrow-build render -> [c_out, H, W].
+
+    The band path runs under jax.jit (parallel/render.py), so this
+    reference must too: eager op-by-op execution differs from the jitted
+    fusion by FMA contraction (~4e-6 in preprocess outputs on XLA CPU)."""
+    from langsplat4d.ops.tile_composite import composite_stream_pallas
+    from langsplat4d.render.raster import preprocess
+    from langsplat4d.render.stream import build_stream_narrow
+
+    H, W = settings.image_height, settings.image_width
+
+    def fn(cam, means, opac, scales, quats, colors, lang, active, bg):
+        n = means.shape[0]
+        prep = preprocess(settings, cam, means, jnp.zeros((n, 2)), opac,
+                          scales, quats, None, colors_precomp=colors,
+                          active=active)
+        rows, starts, _ = build_stream_narrow(
+            settings, prep, lang, tiers=tiers, budget=budget)
+        out = composite_stream_pallas(
+            rows, starts, bg, tiles_x=settings.tiles_x,
+            num_tiles=settings.num_tiles, tile_size=settings.tile_size,
+            tb=settings.pallas_tile_block, g=settings.composite_chunk,
+            hard_cutoffs=settings.hard_cutoffs)
+        c_out = out.shape[1]
+        ts = settings.tile_size
+        return (out[: settings.num_tiles]
+                .reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
+                .transpose(2, 0, 3, 1, 4)
+                .reshape(c_out, settings.tiles_y * ts,
+                         settings.tiles_x * ts)[:, :H, :W])
+
+    return jax.jit(fn)(cam, means, opac, scales, quats, colors, lang,
+                       active, bg)
+
+
 @pytest.fixture(autouse=True)
 def require_8_devices():
     if len(jax.devices()) < 8:
@@ -166,16 +203,24 @@ def test_sharded_render_matches_single_device():
 def test_band_sharded_render_matches_single_device():
     """Tile-band model-parallel render (parallel/render.py): 4 devices each
     build + composite one band of tile rows; the stitched image must match
-    the single-device narrow-stream render to float rounding (the band
-    composite shifts pix_y into the band frame, which reassociates one f32
-    subtraction — observed max diff ~5e-7). (Sized for pallas interpret
-    mode: 64x64 / 4x4 tiles / budget 1024.)"""
+    the single-device narrow-stream render up to XLA fusion noise.
+
+    Tolerance note (root cause of the round-4 red suite): the band path and
+    the reference are DIFFERENT XLA programs, and FMA contraction inside
+    fusions is compilation-context-dependent — the same preprocess math
+    yields ~4e-6 different point_image/conic values between an eager,
+    a jitted, and a shard_map-jitted compilation (verified bitwise:
+    preprocess jitted standalone == preprocess inside the shard_map program;
+    both != eager, and != preprocess fused into the full-frame jit). The
+    composite's exp() amplifies that to ~1e-4 on scattered pixels. The
+    slot routing/order itself is exact — a real band bug (wrong tile
+    ownership, wrong depth order) produces O(1e-2..1) errors across whole
+    segments, far above this gate. (Sized for pallas interpret mode:
+    64x64 / 4x4 tiles / budget 1024.)"""
     from jax.experimental.pallas import tpu as pltpu
-    from langsplat4d.ops.tile_composite import composite_stream_pallas
     from langsplat4d.parallel.mesh import make_mesh
     from langsplat4d.parallel.render import render_tiles_sharded
-    from langsplat4d.render.raster import RasterSettings, preprocess
-    from langsplat4d.render.stream import build_stream_narrow
+    from langsplat4d.render.raster import RasterSettings
     from tests.test_raster import make_camera, random_scene
 
     rng = np.random.default_rng(7)
@@ -196,31 +241,18 @@ def test_band_sharded_render_matches_single_device():
     budget = 1024
 
     with pltpu.force_tpu_interpret_mode():
-        # single-device reference: full narrow build + composite
-        prep = preprocess(settings, cam, means, jnp.zeros((n, 2)), opac,
-                          scales, quats, None, colors_precomp=colors,
-                          active=active)
-        rows, starts, _ = build_stream_narrow(
-            settings, prep, lang, tiers=tiers, budget=budget)
-        ref = composite_stream_pallas(
-            rows, starts, bg, tiles_x=settings.tiles_x,
-            num_tiles=settings.num_tiles, tile_size=settings.tile_size,
-            tb=settings.pallas_tile_block, g=settings.composite_chunk,
-            hard_cutoffs=settings.hard_cutoffs)
-        c_out = ref.shape[1]
-        ts = settings.tile_size
-        ref_img = (ref[: settings.num_tiles]
-                   .reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
-                   .transpose(2, 0, 3, 1, 4)
-                   .reshape(c_out, settings.tiles_y * ts,
-                            settings.tiles_x * ts)[:, :H, :W])
+        ref_img = _single_device_ref_img(
+            settings, cam, means, opac, scales, quats, colors, lang,
+            active, bg, tiers=tiers, budget=budget)
 
         mesh = make_mesh(4, data=1, gauss=4)
         img = render_tiles_sharded(
             settings, cam, means, opac, scales, quats, colors, lang, active,
             bg, mesh, tiers=tiers, budget=budget)
+        # atol 5e-4: 5x the observed cross-program FMA-contraction noise
+        # (~1e-4, see docstring), 20x below real-bug scale
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=5e-3, atol=5e-4)
 
         # scatter exchange (per-chip tile ownership, one all-to-all): same
         # stitched image, zero dropped slots at a generous bucket
@@ -230,7 +262,7 @@ def test_band_sharded_render_matches_single_device():
             bg, mesh, tiers=tiers, bucket=512)
         assert int(dropped) == 0
         np.testing.assert_allclose(np.asarray(img2), np.asarray(ref_img),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=5e-3, atol=5e-4)
 
 
 def test_band_render_uneven_split():
@@ -239,12 +271,10 @@ def test_band_render_uneven_split():
     rows are cropped and both exchange modes match the single-device
     narrow-stream render."""
     from jax.experimental.pallas import tpu as pltpu
-    from langsplat4d.ops.tile_composite import composite_stream_pallas
     from langsplat4d.parallel.mesh import make_mesh
     from langsplat4d.parallel.render import (render_tiles_scatter,
                                              render_tiles_sharded)
-    from langsplat4d.render.raster import RasterSettings, preprocess
-    from langsplat4d.render.stream import build_stream_narrow
+    from langsplat4d.render.raster import RasterSettings
     from tests.test_raster import make_camera, random_scene
 
     rng = np.random.default_rng(11)
@@ -264,37 +294,25 @@ def test_band_render_uneven_split():
     tiers = ((3, 64), (6, 64), (16, 64))
 
     with pltpu.force_tpu_interpret_mode():
-        prep = preprocess(settings, cam, means, jnp.zeros((n, 2)), opac,
-                          scales, quats, None, colors_precomp=colors,
-                          active=active)
-        rows, starts, _ = build_stream_narrow(
-            settings, prep, lang, tiers=tiers, budget=1024)
-        ref = composite_stream_pallas(
-            rows, starts, bg, tiles_x=settings.tiles_x,
-            num_tiles=settings.num_tiles, tile_size=settings.tile_size,
-            tb=settings.pallas_tile_block, g=settings.composite_chunk,
-            hard_cutoffs=settings.hard_cutoffs)
-        c_out = ref.shape[1]
-        ts = settings.tile_size
-        ref_img = (ref[: settings.num_tiles]
-                   .reshape(settings.tiles_y, settings.tiles_x, c_out, ts, ts)
-                   .transpose(2, 0, 3, 1, 4)
-                   .reshape(c_out, settings.tiles_y * ts,
-                            settings.tiles_x * ts)[:, :H, :W])
+        ref_img = _single_device_ref_img(
+            settings, cam, means, opac, scales, quats, colors, lang,
+            active, bg, tiers=tiers, budget=1024)
 
         mesh = make_mesh(4, data=1, gauss=4)
         img = render_tiles_sharded(
             settings, cam, means, opac, scales, quats, colors, lang, active,
             bg, mesh, tiers=tiers, budget=1024)
         assert img.shape[1] == H
+        # cross-program FMA-contraction tolerance, see
+        # test_band_sharded_render_matches_single_device docstring
         np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=5e-3, atol=5e-4)
         img2, dropped = render_tiles_scatter(
             settings, cam, means, opac, scales, quats, colors, lang, active,
             bg, mesh, tiers=tiers, bucket=512)
         assert int(dropped) == 0
         np.testing.assert_allclose(np.asarray(img2), np.asarray(ref_img),
-                                   rtol=1e-5, atol=1e-6)
+                                   rtol=5e-3, atol=5e-4)
 
 
 def test_scatter_bucket_overflow_audit():

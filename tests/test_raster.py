@@ -614,3 +614,72 @@ class TestNarrowStream:
                 settings, p, tiers=tiers, ellipse_cull=cull))(prep)
             assert int(n_est) == int(n_valid), (cull, int(n_est),
                                                 int(n_valid))
+
+    @pytest.mark.parametrize("single_key", [True, False])
+    def test_wide_key_matches_packed(self, rng, monkeypatch, single_key):
+        """The two-column wide key (capacity > 2^18 — the reference's 360k
+        operating point, train.py:399) must produce BIT-IDENTICAL rows and
+        starts to the packed-u32 narrow build: same valid slots, same
+        (tile, depth-rank) order, same table gather. Forced at test scale
+        by lowering the packed-key capacity threshold."""
+        import dataclasses
+
+        import langsplat4d.render.stream as S
+        n, H, W = 96, 64, 64
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=3, include_feature=True,
+            tile_capacity=64, stream_single_key=single_key)
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+        prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+            settings, cam, mn, dm, op, sc, qt, None, cl))(
+            jnp.asarray(means), jnp.zeros((n, 2)), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+        tiers = ((3, 64), (6, 64), (16, 64))
+
+        def build():
+            return jax.jit(lambda p, f: S.build_stream_narrow(
+                settings, p, f, tiers=tiers, budget=4096))(
+                prep, jnp.asarray(lang))
+
+        rows_p, starts_p, nv_p = build()
+        assert n <= S.RANK_CAP           # packed path actually ran
+        monkeypatch.setattr(S, "RANK_CAP", 16)   # force wide
+        rows_w, starts_w, nv_w = build()
+        assert int(nv_w) == int(nv_p)
+        np.testing.assert_array_equal(np.asarray(starts_w),
+                                      np.asarray(starts_p))
+        # compare the VALID slot prefix only: slots past n_valid are
+        # sentinel padding whose gathered rows are arbitrary (never read —
+        # every tile segment ends within the valid prefix)
+        nv = int(nv_p)
+        assert nv > 0
+        np.testing.assert_array_equal(np.asarray(rows_w)[:, :nv],
+                                      np.asarray(rows_p)[:, :nv])
+
+    def test_wide_key_train_build_matches_packed(self, rng, monkeypatch):
+        """build_stream_train's wide mode (360k training): identical src /
+        valid / starts / chunk_tile layout to the packed-key build."""
+        import langsplat4d.render.stream as S
+        n, H, W = 96, 64, 64
+        cam = make_camera(H, W)
+        settings = R.RasterSettings(
+            H, W, sh_degree=0, lang_dim=3, include_feature=True,
+            tile_capacity=64)
+        means, scales, quats, opac, colors, lang = random_scene(rng, n=n)
+        prep = jax.jit(lambda mn, dm, op, sc, qt, cl: R.preprocess(
+            settings, cam, mn, dm, op, sc, qt, None, cl))(
+            jnp.asarray(means), jnp.zeros((n, 2)), jnp.asarray(opac),
+            jnp.asarray(scales), jnp.asarray(quats), jnp.asarray(colors))
+        tiers = ((3, 64), (6, 64), (16, 64))
+
+        def build():
+            return jax.jit(lambda p: S.build_stream_train(
+                settings, p, tiers=tiers, budget=4096, chunk=32))(prep)
+
+        ref = build()
+        monkeypatch.setattr(S, "RANK_CAP", 16)   # force wide
+        out = build()
+        for k in ("src", "valid", "starts", "chunk_tile", "n_valid"):
+            np.testing.assert_array_equal(np.asarray(out[k]),
+                                          np.asarray(ref[k]), err_msg=k)
