@@ -191,6 +191,14 @@ class RuntimeConfig:
                                  # decoded/gathered on device (step.py
                                  # materialize_batch). Lossless; False ships
                                  # pre-gathered f32 maps like the reference.
+    packed_step: bool = field(   # single-dispatch train step: camera rows
+        default_factory=lambda: os.getenv("LS4D_PACKED_STEP", "1") != "0")
+                                 # (A/B: LS4D_PACKED_STEP=0 -> legacy)
+                                 # packed into ONE [B,39] host upload, GT as
+                                 # cached device refs, batch assembly inside
+                                 # the step's jit (train/step.py
+                                 # train_step_packed). False = legacy
+                                 # per-field upload cascade.
     gt_cache_mb: int = 4096      # device-resident GT cache budget
                                  # (data/gt_cache.py): each camera's batch
                                  # arrays upload once and stay in HBM across

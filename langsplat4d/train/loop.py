@@ -24,7 +24,8 @@ from langsplat4d.field.deformation import DeformConfig, init_deform_params
 from langsplat4d.render.raster import RasterSettings
 from langsplat4d.train import densify as D
 from langsplat4d.train.optim import LRConfig
-from langsplat4d.train.step import Batch, StepConfig, train_step
+from langsplat4d.train.step import (Batch, StepConfig, pack_cam_rows,
+                                    train_step, train_step_packed)
 from langsplat4d.train.trainstate import TrainState, make_train_state
 from langsplat4d.utils.logging import get_logger
 from langsplat4d.utils.timer import Timer
@@ -32,6 +33,46 @@ from langsplat4d.utils.timer import Timer
 logger = get_logger()
 
 STAGE_ORDER = ("coarse-base", "coarse-lang", "fine-base", "fine-lang")
+
+
+class PackedPayload(tuple):
+    """(packed [B,39] np.f32, imgs tuple, segs tuple|None, tables
+    tuple|None): the single-upload wire format consumed by
+    train_step_packed — camera matrices/time/iteration as ONE host row per
+    camera, GT arrays as cached device references. Batch stacking and
+    decode happen inside the step's jit (1 upload + 1 dispatch per
+    iteration instead of ~10)."""
+    __slots__ = ()
+
+    def __new__(cls, packed, imgs, segs, tables):
+        return tuple.__new__(cls, (packed, imgs, segs, tables))
+
+    packed = property(lambda s: s[0])
+    imgs = property(lambda s: s[1])
+    segs = property(lambda s: s[2])
+    tables = property(lambda s: s[3])
+
+
+def payload_to_batch(p: PackedPayload) -> Batch:
+    """Eager PackedPayload -> Batch (debug/telemetry cadence only)."""
+    from langsplat4d.render.raster import CameraParams
+    pk = jnp.asarray(p.packed)
+    b = pk.shape[0]
+    cams = CameraParams(
+        viewmatrix=pk[:, :16].reshape(b, 4, 4),
+        projmatrix=pk[:, 16:32].reshape(b, 4, 4),
+        campos=pk[:, 32:35], tanfovx=pk[:, 35], tanfovy=pk[:, 36])
+    tables = None
+    if p.tables:
+        s_max = max(t.shape[0] for t in p.tables)
+        tables = jnp.stack([
+            t if t.shape[0] == s_max
+            else jnp.pad(t, ((0, s_max - t.shape[0]), (0, 0)))
+            for t in p.tables])
+    return Batch(cams=cams, times=pk[:, 37], gt_images=jnp.stack(p.imgs),
+                 gt_lang=None, lang_mask=None,
+                 gt_seg=jnp.stack(p.segs) if p.segs else None,
+                 gt_tables=tables)
 
 
 def _watchdog_restart(cfg: Config, reason: str) -> None:
@@ -54,7 +95,8 @@ def _watchdog_restart(cfg: Config, reason: str) -> None:
 
 
 def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
-                split: str = "train", need_lang: bool = True) -> Batch:
+                split: str = "train", need_lang: bool = True,
+                packed_iter=None) -> Batch:
     """Stack a list of host cameras into device Batch arrays.
 
     With `runtime.compact_batch` (the default) the batch crosses the
@@ -73,20 +115,36 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
     first epoch the only per-iteration host work left is the device-side
     stack of cached arrays. The reference re-uploads every iteration
     (train.py:242-296).
+
+    `packed_iter` (an int iteration) switches the return to PackedPayload —
+    per-camera DEVICE refs + one packed host row per camera — consumed by
+    train_step_packed in a single dispatch (requires the compact wire
+    format for the language channel).
     """
     compact = getattr(cfg.runtime, "compact_batch", True)
+    packed_mode = packed_iter is not None
+    if packed_mode and need_lang and not compact:
+        packed_mode = None  # full-format lang maps: keep the legacy path
+        packed_iter = None
     cache = None
     cache_mb = getattr(cfg.runtime, "gt_cache_mb", 0)
     if cache_mb > 0:
         from langsplat4d.data.gt_cache import get_cache, image_fingerprint
         cache = get_cache(cache_mb)
-    # camera matrices: stack in numpy, upload once per field — 5 dispatches
-    # per batch instead of 5 per camera + 5 stacks (PERF.md: dispatch setup
-    # over the device tunnel dominates small-array uploads)
+    # camera matrices: stack in numpy. Packed mode defers the upload to
+    # train_step_packed's single dispatch; legacy mode uploads once per
+    # field — 5 dispatches per batch instead of 5 per camera + 5 stacks
+    # (PERF.md: dispatch setup over the device tunnel dominates small-array
+    # uploads)
     cam_params = [c.camera_params_np() for c in cams]
-    stacked = jax.tree.map(
-        lambda *xs: jnp.asarray(np.stack(xs)), *cam_params)
-    times = jnp.asarray([c.time for c in cams], jnp.float32)
+    cam_times = [c.time for c in cams]
+    if packed_mode:
+        packed_rows = pack_cam_rows(cam_params, cam_times, packed_iter)
+        stacked = times = None
+    else:
+        stacked = jax.tree.map(
+            lambda *xs: jnp.asarray(np.stack(xs)), *cam_params)
+        times = jnp.asarray(cam_times, jnp.float32)
 
     # ---- images: per-camera device arrays, cached across revisits ----
     def encode_image(img):
@@ -126,7 +184,9 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
         # device (exact — the same true division materialize_batch performs)
         imgs_dev = [d.astype(jnp.float32) / np.float32(255.0)
                     if d.dtype == jnp.uint8 else d for d in imgs_dev]
-    gt_images = jnp.stack(imgs_dev)
+    if packed_mode and not need_lang:
+        return PackedPayload(packed_rows, tuple(imgs_dev), None, None)
+    gt_images = None if packed_mode else jnp.stack(imgs_dev)
 
     lf_path = cfg.model.lf_path
     lang_dim = cfg.runtime.language_feature_hiddendim
@@ -196,13 +256,17 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
 
     if compact:
         tables = [d[1] for d in dev_list]
+        segs = [d[0] for d in dev_list]
+        if any(s.dtype != jnp.int16 for s in segs):
+            segs = [s.astype(jnp.int32) for s in segs]  # >32k-segment frames
+        if packed_mode:
+            # table padding to the batch max happens inside the step's jit
+            return PackedPayload(packed_rows, tuple(imgs_dev), tuple(segs),
+                                 tuple(tables))
         s_max = max(t.shape[0] for t in tables)
         tables = [t if t.shape[0] == s_max
                   else jnp.pad(t, ((0, s_max - t.shape[0]), (0, 0)))
                   for t in tables]
-        segs = [d[0] for d in dev_list]
-        if any(s.dtype != jnp.int16 for s in segs):
-            segs = [s.astype(jnp.int32) for s in segs]  # >32k-segment frames
         return Batch(
             cams=stacked, times=times, gt_images=gt_images,
             gt_lang=None, lang_mask=None,
@@ -576,6 +640,15 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         # sequential and cannot shard the batch axis)
         vmap_batch=shard_batch_fn is not None)
 
+    # single-dispatch step path (train_step_packed): camera rows packed into
+    # one host upload, GT arrays passed as cached device refs, batch
+    # assembly inside the jit. Data-parallel batch sharding keeps the
+    # legacy Batch path (shard_batch needs the stacked arrays).
+    use_packed = (shard_batch_fn is None
+                  and getattr(cfg.runtime, "packed_step", True)
+                  and ("base" in stage
+                       or getattr(cfg.runtime, "compact_batch", True)))
+
     def batch_source():
         """Camera sampling + batch building, run `prefetch_depth` iterations
         ahead on a producer thread (data/prefetch.py): PIL decode, GT-feature
@@ -606,7 +679,8 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                         viewpoint_stack.extend(temp_list)
                     cams.append(train_cams[idx])
             yield cams, build_batch(cams, cfg, scene, split,
-                                    need_lang="base" not in stage)
+                                    need_lang="base" not in stage,
+                                    packed_iter=(it if use_packed else None))
 
     import contextlib
 
@@ -663,9 +737,17 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         state_before = state   # train_step does not donate; kept for the
         #                        forensics dump below (no cost otherwise)
         with mctx():
-            state, metrics, vs_grad, visibility, radii_max = train_step(
-                step_cfg, state, batch, bg,
-                jnp.asarray(iteration, jnp.int32), state.active_sh_degree)
+            if isinstance(batch, PackedPayload):
+                state, metrics, vs_grad, visibility, radii_max = \
+                    train_step_packed(
+                        step_cfg, state, jnp.asarray(batch.packed),
+                        batch.imgs, batch.segs, batch.tables, bg,
+                        state.active_sh_degree)
+            else:
+                state, metrics, vs_grad, visibility, radii_max = train_step(
+                    step_cfg, state, batch, bg,
+                    jnp.asarray(iteration, jnp.int32),
+                    state.active_sh_degree)
         pending_losses.append((iteration, metrics["loss"]))
 
         if os.getenv("LS4D_NAN_FORENSICS"):
@@ -684,7 +766,12 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                     jnp.stack([jnp.isfinite(x).all()
                                for x in jax.tree.leaves(tree)
                                if jnp.issubdtype(x.dtype, jnp.floating)])))
-            gui_ctx["_nan_window"].append((iteration, state_before, batch))
+            gui_ctx["_nan_window"].append((
+                iteration, state_before,
+                # PackedPayload is a pytree LEAF (device_get would skip its
+                # arrays); forensics runs eagerly anyway, so expand it
+                payload_to_batch(batch) if isinstance(batch, PackedPayload)
+                else batch))
             if iteration % 10 == 0 and not bool(
                     gui_ctx["_nan_canary"](state.params)):
                 import pickle
@@ -723,7 +810,10 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
                 out = eval_step(step_cfg, state, cams[0].camera_params(),
                                 jnp.asarray(cams[0].time), bg,
                                 state.active_sh_degree)
-                full = materialize_batch(batch)  # eager; debug cadence only
+                full = materialize_batch(
+                    payload_to_batch(batch) if isinstance(batch,
+                                                          PackedPayload)
+                    else batch)  # eager; debug cadence only
                 gt_lang0 = (full.gt_lang[0] if full.gt_lang is not None
                             else jnp.zeros(
                                 (cfg.runtime.language_feature_hiddendim,)

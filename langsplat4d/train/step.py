@@ -176,6 +176,66 @@ def _loss_fn(cfg: StepConfig, params, num_active, aabb, batch: Batch, bg,
     return loss, (metrics, radii)
 
 
+#: packed per-camera row layout for train_step_packed: 16 viewmatrix +
+#: 16 projmatrix + 3 campos + tanfovx + tanfovy + time + iteration = 39
+#: f32 (iteration is f32-exact below 2^24 — far above any schedule).
+PACKED_CAM_WIDTH = 39
+
+
+def pack_cam_rows(cam_params_np, times, iteration) -> "np.ndarray":
+    """Host-side [B, PACKED_CAM_WIDTH] f32 rows for train_step_packed: the
+    per-iteration H2D payload collapses to ONE small upload instead of 6
+    field uploads + a scalar (PERF.md: dispatch setup over the device
+    tunnel dominates small-array transfers)."""
+    import numpy as np
+    rows = []
+    for cp, t in zip(cam_params_np, times):
+        rows.append(np.concatenate([
+            np.asarray(cp.viewmatrix, np.float32).reshape(16),
+            np.asarray(cp.projmatrix, np.float32).reshape(16),
+            np.asarray(cp.campos, np.float32).reshape(3),
+            np.float32([cp.tanfovx, cp.tanfovy, t, iteration])]))
+    return np.stack(rows)
+
+
+@partial(jax.jit, static_argnames=("cfg", "active_sh_degree"))
+def train_step_packed(cfg: StepConfig, state: TrainState,
+                      packed: jnp.ndarray,        # [B, PACKED_CAM_WIDTH]
+                      imgs: Tuple[jnp.ndarray, ...],    # B x [3,H,W] u8/f32
+                      segs: Optional[Tuple[jnp.ndarray, ...]],  # B x [H,W]
+                      tables: Optional[Tuple[jnp.ndarray, ...]],  # B x [S,L]
+                      bg: jnp.ndarray, active_sh_degree: int = 0):
+    """Single-dispatch train step: camera matrices/times/iteration arrive as
+    ONE packed host row per camera and the per-camera GT arrays as cached
+    DEVICE references (data/gt_cache.py) — batch stacking, u8 decode and the
+    seg-table gather all happen inside this jit. Replaces the eager
+    per-iteration cascade (5 field uploads + 3 device stacks + an iteration
+    upload + the step dispatch ~= 10 dispatches/it) with 1 upload + 1
+    dispatch; the reference re-uploads everything per step
+    (train.py:242-296)."""
+    b = packed.shape[0]
+    cams = CameraParams(
+        viewmatrix=packed[:, :16].reshape(b, 4, 4),
+        projmatrix=packed[:, 16:32].reshape(b, 4, 4),
+        campos=packed[:, 32:35],
+        tanfovx=packed[:, 35], tanfovy=packed[:, 36])
+    times = packed[:, 37]
+    iteration = packed[0, 38].astype(jnp.int32)
+    if tables:
+        # pad tables to the batch max segment count (static at trace time)
+        s_max = max(t.shape[0] for t in tables)
+        tables = [t if t.shape[0] == s_max
+                  else jnp.pad(t, ((0, s_max - t.shape[0]), (0, 0)))
+                  for t in tables]
+    batch = Batch(
+        cams=cams, times=times, gt_images=jnp.stack(imgs),
+        gt_lang=None, lang_mask=None,
+        gt_seg=jnp.stack(segs) if segs else None,
+        gt_tables=jnp.stack(tables) if tables else None)
+    return _train_step_body(cfg, state, batch, bg, iteration,
+                            active_sh_degree)
+
+
 @partial(jax.jit, static_argnames=("cfg", "active_sh_degree"))
 def train_step(cfg: StepConfig, state: TrainState, batch: Batch,
                bg: jnp.ndarray, iteration: jnp.ndarray,
@@ -184,6 +244,15 @@ def train_step(cfg: StepConfig, state: TrainState, batch: Batch,
                           jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (new_state, metrics, viewspace_grad_sum [cap,2],
     visibility_any [cap], radii_max [cap])."""
+    return _train_step_body(cfg, state, batch, bg, iteration,
+                            active_sh_degree)
+
+
+def _train_step_body(cfg: StepConfig, state: TrainState, batch: Batch,
+                     bg: jnp.ndarray, iteration: jnp.ndarray,
+                     active_sh_degree: int = 0,
+                     ) -> Tuple[TrainState, Dict[str, jnp.ndarray],
+                                jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     b = batch.gt_images.shape[0]
     dummies = jnp.zeros((b, state.capacity, 2), jnp.float32)
 

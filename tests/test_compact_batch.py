@@ -165,3 +165,82 @@ def test_build_batch_float_images_stay_f32(nerfies_root):
     cam.image = cam.image + np.float32(1e-4)   # no longer k/255 values
     b = build_batch([cam], cfg, scene, "train", need_lang=False)
     assert b.gt_images.dtype == jnp.float32
+
+
+def test_packed_payload_matches_batch(nerfies_root):
+    """build_batch(packed_iter=i) -> PackedPayload whose payload_to_batch
+    reconstruction materializes to the same arrays as the legacy Batch
+    (camera rows, images, seg/table gather)."""
+    from langsplat4d.train.loop import (PackedPayload, build_batch,
+                                        payload_to_batch)
+    scene, cfg = _scene_and_cfg(nerfies_root)
+    cams = [scene.getTrainCameras()[i] for i in (0, 1)]
+
+    legacy = build_batch(cams, cfg, scene, "train")
+    payload = build_batch(cams, cfg, scene, "train", packed_iter=7)
+    assert isinstance(payload, PackedPayload)
+    assert payload.packed.shape[1] == 39
+    assert float(payload.packed[0, 38]) == 7.0    # iteration column
+
+    rec = payload_to_batch(payload)
+    for k in ("viewmatrix", "projmatrix", "campos", "tanfovx", "tanfovy"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(rec.cams, k)),
+            np.asarray(getattr(legacy.cams, k)), rtol=0, atol=0, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(rec.times),
+                                  np.asarray(legacy.times))
+    dec_r, dec_l = materialize_batch(rec), materialize_batch(legacy)
+    np.testing.assert_array_equal(np.asarray(dec_r.gt_images),
+                                  np.asarray(dec_l.gt_images))
+    np.testing.assert_array_equal(np.asarray(dec_r.gt_lang),
+                                  np.asarray(dec_l.gt_lang))
+    np.testing.assert_array_equal(np.asarray(dec_r.lang_mask),
+                                  np.asarray(dec_l.lang_mask))
+
+
+def test_packed_step_matches_legacy_step(nerfies_root):
+    """train_step_packed must produce the same updated params and loss as
+    train_step on the equivalent legacy Batch (the single-dispatch path is
+    a wire-format change, not a numerics change)."""
+    from langsplat4d.render.raster import RasterSettings
+    from langsplat4d.train.loop import build_batch
+    from langsplat4d.train.optim import LRConfig
+    from langsplat4d.train.step import StepConfig, train_step, \
+        train_step_packed
+    from langsplat4d.config import OptimizationConfig
+    from tests.test_train import tiny_state
+
+    scene, cfg = _scene_and_cfg(nerfies_root)
+    cams = [scene.getTrainCameras()[0]]
+    rng = np.random.default_rng(3)
+    state, dcfg = tiny_state(rng, n=32, cap=32)
+    H, W = cams[0].height, cams[0].width
+    settings = RasterSettings(H, W, sh_degree=0, lang_dim=3,
+                              include_feature=True, tile_capacity=32,
+                              composite_chunk=16, composite_tile_chunk=4)
+    step_cfg = StepConfig(
+        settings=settings, dcfg=dcfg,
+        lr_cfg=LRConfig.from_optim(OptimizationConfig(), 1.0),
+        stage="fine-lang", no_dlang=False)
+    bg = jnp.zeros(3)
+
+    legacy = build_batch(cams, cfg, scene, "train")
+    payload = build_batch(cams, cfg, scene, "train", packed_iter=5)
+
+    s_ref, m_ref, vs_ref, vis_ref, rad_ref = train_step(
+        step_cfg, state, legacy, bg, jnp.asarray(5, jnp.int32), 0)
+    s_pk, m_pk, vs_pk, vis_pk, rad_pk = train_step_packed(
+        step_cfg, state, jnp.asarray(payload.packed), payload.imgs,
+        payload.segs, payload.tables, bg, 0)
+
+    np.testing.assert_allclose(float(m_pk["loss"]), float(m_ref["loss"]),
+                               rtol=1e-6)
+    for k in ("xyz", "opacity", "scaling", "language_feature"):
+        np.testing.assert_allclose(np.asarray(s_pk.params[k]),
+                                   np.asarray(s_ref.params[k]),
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(np.asarray(vs_pk), np.asarray(vs_ref),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(vis_pk), np.asarray(vis_ref))
+    np.testing.assert_allclose(np.asarray(rad_pk), np.asarray(rad_ref),
+                               rtol=1e-5, atol=1e-5)
