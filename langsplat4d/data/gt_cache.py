@@ -15,8 +15,10 @@ FIFO eviction bounds the footprint (`runtime.gt_cache_mb`); scenes larger
 than the budget degrade to streaming exactly as before. Image entries carry a
 sampled-content fingerprint in their key, so host-side image mutation (e.g.
 augmentation or tests patching `cam.image`) misses instead of serving stale
-bytes. Language entries are keyed by (name, split, level) only — they mirror
-immutable on-disk `*_s.npy`/`*_f.npy` files.
+bytes. Language entries are keyed by (feature dir, name, split, level) —
+they mirror immutable on-disk `*_s.npy`/`*_f.npy` files, and the dir scopes
+them per scene (the cache is process-global; multi-scene processes such as
+test suites must not cross-serve entries).
 """
 from __future__ import annotations
 

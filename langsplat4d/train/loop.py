@@ -231,7 +231,10 @@ def build_batch(cams: List[HostCamera], cfg: Config, scene: Scene,
                     np.zeros((1, c.height, c.width), bool))
         return f, m
 
-    lang_key = ("lang", split, cfg.model.feature_level, compact)
+    # lf_path scopes entries to THIS scene's feature dir: the cache is
+    # process-global, and a second scene trained in the same process (test
+    # suites, notebooks) must not hit the first scene's stale shapes
+    lang_key = ("lang", lf_path, split, cfg.model.feature_level, compact)
     dev_list: List = [None] * len(cams)
     miss = []
     for i, c in enumerate(cams):

@@ -22,6 +22,14 @@ import time
 
 import numpy as np
 
+# The axon TPU plugin ignores JAX_PLATFORMS from the environment alone; the
+# CLIs call jax.config.update when the env var is set, and the in-process
+# margin/export epilogue here must do the same or a cpu-pinned run still
+# initializes (and can hang on) the remote TPU backend.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
