@@ -26,6 +26,8 @@ def main():
     from langsplat4d.utils.platform import apply_platform_env
     apply_platform_env()   # honor JAX_PLATFORMS=cpu (axon ignores the env var)
     import jax
+
+    pallas_note = _preflight_pallas()
     from langsplat4d.config import Config
     from langsplat4d.data.cameras import HostCamera
     from langsplat4d.field.deformation import DeformConfig, init_deform_params
@@ -113,6 +115,8 @@ def main():
     else:
         result["error"] = (f"render did not finish within {deadline_s}s "
                            "(device tunnel unavailable/wedged)")
+    if pallas_note:
+        result["note"] = pallas_note
     if "--render-only" not in sys.argv:
         train_it_per_s = _bench_train_subprocess()
         if train_it_per_s is not None:
@@ -121,6 +125,77 @@ def main():
     if "fps" not in done:
         os._exit(3)   # the worker thread may be wedged in the runtime; do
         # not wait on interpreter teardown
+
+
+def _preflight_pallas():
+    """Probe the tunnel's Mosaic (Pallas) compile path in a bounded
+    subprocess; on failure force the pure-XLA compositor.
+
+    Observed on the axon tunnel (2026-08-21): plain XLA programs compile in
+    ~2 s while ANY pallas_call compile — even a toy elementwise kernel —
+    hangs for hundreds of seconds server-side and wedges the device for
+    every later dispatch. A bench that trips that path reports nothing at
+    all; the honest degradation is the padded-tile-list XLA compositor
+    (LS4D_STREAM_BINNING=0, langsplat4d/render/driver.py). The probe runs
+    in a subprocess with a deadline so the main process never touches the
+    broken path. Returns a note for the result JSON, or None when healthy.
+    Skip (trust pallas) with LS4D_PALLAS_PREFLIGHT=0; the warm compile
+    cache makes the probe itself ~free once one run has succeeded."""
+    import subprocess
+    if os.environ.get("LS4D_PALLAS_PREFLIGHT", "1") == "0":
+        return None
+    if os.environ.get("LS4D_STREAM_BINNING") == "0":
+        return "stream_binning forced off via env (pure-XLA compositor)"
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return None
+    probe = (
+        "from langsplat4d.utils.platform import apply_platform_env\n"
+        "apply_platform_env()\n"
+        "import jax, jax.numpy as jnp\n"
+        "from jax.experimental import pallas as pl\n"
+        "def k(x_ref, o_ref):\n"
+        "    o_ref[...] = x_ref[...] * 2.0 + 1.0\n"
+        "f = pl.pallas_call(k, out_shape=jax.ShapeDtypeStruct((256, 256),"
+        " jnp.float32))\n"
+        "print(float(jax.jit(f)(jnp.ones((256, 256))).sum()))\n")
+    deadline = int(os.environ.get("LS4D_PALLAS_PREFLIGHT_S", "420"))
+    # Stamp files: a timed-out probe leaves the tunnel wedged behind the
+    # abandoned server-side compile for a long time — probing again (or
+    # letting the main run touch pallas) makes it worse. A recent BROKEN
+    # stamp skips straight to the XLA fallback without re-poking Mosaic;
+    # an OK stamp (newer than any broken one) skips the probe cost.
+    ok_stamp, broken_stamp = "/tmp/ls4d_mosaic_ok", "/tmp/ls4d_mosaic_broken"
+
+    def _age(p):
+        try:
+            return time.time() - os.stat(p).st_mtime
+        except OSError:
+            return None
+    ok_age, broken_age = _age(ok_stamp), _age(broken_stamp)
+    if ok_age is not None and (broken_age is None or ok_age < broken_age):
+        return None
+    if broken_age is not None and broken_age < 4 * 3600:
+        os.environ["LS4D_STREAM_BINNING"] = "0"
+        return ("Mosaic remote compile marked broken "
+                f"{int(broken_age/60)} min ago — pure-XLA compositor "
+                "(rm /tmp/ls4d_mosaic_broken to re-probe)")
+    try:
+        subprocess.run([sys.executable, "-c", probe], timeout=deadline,
+                       check=True, capture_output=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+        open(ok_stamp, "w").close()
+        return None
+    except subprocess.TimeoutExpired:
+        open(broken_stamp, "w").close()
+        os.environ["LS4D_STREAM_BINNING"] = "0"
+        return (f"pallas preflight timed out after {deadline}s (Mosaic "
+                "remote compile broken) — fell back to the pure-XLA "
+                "compositor; FPS below the pallas fast path")
+    except subprocess.CalledProcessError as e:
+        open(broken_stamp, "w").close()
+        os.environ["LS4D_STREAM_BINNING"] = "0"
+        return ("pallas preflight failed: "
+                + (e.stderr or b"").decode()[-200:])
 
 
 def _roofline_render(cfg, state, dcfg, view, fps):

@@ -204,6 +204,19 @@ class RuntimeConfig:
                                  # arrays upload once and stay in HBM across
                                  # its ~iters/n_images revisits. 0 = stream
                                  # every iteration like the reference.
+    plane_reg: bool = field(     # apply the HexPlane regularizers
+        default_factory=lambda: _env_flag("LS4D_PLANE_REG"))
+                                 # (time-smoothness / l1-time / plane-TV,
+                                 # hidden.* weights) in fine stages. The
+                                 # reference CONFIGURES these in every preset
+                                 # (e.g. arguments/hypernerf/default.py) but
+                                 # its guard `stage == "fine"` never matches
+                                 # its actual stage names (train.py:331), so
+                                 # they are dead upstream; default False
+                                 # preserves that parity. Enabling them
+                                 # smooths the time axis and prevents the
+                                 # single-time-cell object collapse observed
+                                 # on sparse time sampling (QUALITY.md r5).
     stream_train: bool = field(  # stream-binned training composite
         default_factory=lambda: _env_flag("LS4D_STREAM_TRAIN"))
                                  # (render/stream_vjp.py): chunk-aligned

@@ -113,7 +113,13 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
         os.makedirs(p, exist_ok=True)
 
     first = views[0]
-    on_tpu_stream = jax.default_backend() == "tpu"
+    # LS4D_STREAM_BINNING=0: force the pure-XLA padded-tile-list compositor
+    # on TPU too. Escape hatch for environments where the Mosaic (Pallas)
+    # remote compile is broken/wedged (observed on the axon tunnel: a toy
+    # pallas_call compile hangs >400 s while plain XLA compiles in 2 s) —
+    # honest lower FPS beats a bench that never finishes compiling.
+    on_tpu_stream = (jax.default_backend() == "tpu"
+                     and os.environ.get("LS4D_STREAM_BINNING", "1") != "0")
     settings = RasterSettings(
         image_height=first.height, image_width=first.width,
         sh_degree=state.active_sh_degree,

@@ -637,7 +637,15 @@ def scene_reconstruction(cfg: Config, scene: Scene, state: TrainState,
         lambda_dssim=opt.lambda_dssim, nonormalized=cfg.runtime.nonormalized,
         # the reference's plane-reg guard (`stage == "fine"`) never matches its
         # stage names (train.py:331) — preserved: regularizer off by default.
-        time_smoothness_weight=0.0,
+        # runtime.plane_reg opts into the reference presets' configured
+        # INTENT (hidden.* weights, applied in fine stages like the guard
+        # meant to): smooths the time axis so a sparsely-supervised time
+        # cell cannot collapse the moving object (QUALITY.md round 5).
+        time_smoothness_weight=(cfg.hidden.time_smoothness_weight
+                                if (cfg.runtime.plane_reg
+                                    and stage.startswith("fine")) else 0.0),
+        l1_time_planes=cfg.hidden.l1_time_planes,
+        plane_tv_weight=cfg.hidden.plane_tv_weight,
         batch_size=batch_size,
         # data-sharded batches need the vmapped camera loop (lax.map is
         # sequential and cannot shard the batch axis)
