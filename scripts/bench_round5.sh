@@ -31,8 +31,9 @@ run insitu 1200 python scripts/profile_frame_insitu.py 30
 # the reference's 360k densify cap (train.py:399) through the wide-key path
 run render_360k 1200 BENCH_N=360000 python bench.py --render-only
 
-# single-key vs 2-col: 5 reps each, alternating to decorrelate tunnel drift
-for i in 1 2 3 4 5; do
+# single-key vs 2-col: alternating reps to decorrelate tunnel drift
+REPS=${REPS:-3}
+for i in $(seq 1 "$REPS"); do
   run render_skey_rep$i 900 python bench.py --render-only
   run render_2col_rep$i 900 LS4D_STREAM_SINGLE_KEY=0 python bench.py --render-only
 done

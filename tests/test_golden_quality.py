@@ -86,7 +86,8 @@ def test_golden_lang_margin(golden, monkeypatch):
     scene_dir, model_dir, info, metrics = golden
     # the regenerated scene has no AE-exported language_features_dim3; the
     # margin needs only the renders, so skip GT feature loading
-    monkeypatch.setenv("ONLY_EVAL", "1")
+    # (_env_flag semantics: "t", not "1" — config.py:30)
+    monkeypatch.setenv("ONLY_EVAL", "t")
     _render(model_dir, scene_dir, "lang", ["--skip_train", "--skip_test"])
     import glob
 
