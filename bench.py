@@ -241,14 +241,24 @@ def _roofline_render(cfg, state, dcfg, view, fps):
     for s, c in tiers:
         emitted += (s * s - prev * prev) * min(c, n)
         prev = s
-    # exact per-tile chunk walk from one narrow build (single-key: 1 column)
+    # exact per-tile chunk walk from one narrow build (single-key: 1 column;
+    # wide mode above the packed-u32 caps, mirroring the build's own switch)
+    from langsplat4d.render.stream import RANK_CAP
+    wide = n > RANK_CAP or settings.num_tiles >= (1 << 14)
     k_sorted, _, _, _ = jax.jit(lambda p: _narrow_sorted_pairs(
         settings, p, jnp.arange(n, dtype=jnp.int32), tiers=tiers,
-        ellipse_cull=settings.stream_ellipse_cull, carry_src=False))(prep)
+        ellipse_cull=settings.stream_ellipse_cull, carry_src=False,
+        wide=wide))(prep)
     ks = _np.asarray(k_sorted)
-    bounds = _np.arange(settings.num_tiles + 1,
-                        dtype=_np.uint64) << RANK_BITS
-    seg = _np.diff(_np.searchsorted(ks, bounds.astype(_np.uint32)))
+    if wide:
+        # wide mode sorts a plain u32 tile column (rank rides a second sort
+        # column); segment bounds are the tile ids themselves
+        bounds = _np.arange(settings.num_tiles + 1, dtype=_np.uint32)
+        seg = _np.diff(_np.searchsorted(ks, bounds))
+    else:
+        bounds = _np.arange(settings.num_tiles + 1,
+                            dtype=_np.uint64) << RANK_BITS
+        seg = _np.diff(_np.searchsorted(ks, bounds.astype(_np.uint32)))
     g = settings.composite_chunk
     chunks = float(_np.sum(-(-seg // g)))
     px = ts * ts

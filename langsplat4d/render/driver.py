@@ -342,7 +342,13 @@ def render_set(cfg: Config, state: TrainState, dcfg: DeformConfig,
     # compile step; the FPS line measures steady-state throughput). Frames
     # go through render_chunk in fixed-size batches (one compile total);
     # a trailing partial batch is padded with the last view and sliced off.
-    chunk_b = max(1, min(int(os.environ.get("LS4D_RENDER_CHUNK", "10")),
+    # default 20: the round-5 chunk sweep on a latency-degraded tunnel
+    # measured 13.9 / 37.3 / 35.8 / 29.0 FPS at chunk 10/20/30/60
+    # (bench_sweeps/r5_sweep/render_chunk*.out) — dispatch+upload cost per
+    # chunk dominates below 20, lax.map working-set pressure wins above 30.
+    # On the round-4 healthy tunnel chunk=10 already amortized fully, so 20
+    # is neutral there; device memory cost is chunk x ~22 MB of frames.
+    chunk_b = max(1, min(int(os.environ.get("LS4D_RENDER_CHUNK", "20")),
                          len(views)))
 
     def stack_views(vs):
